@@ -1,0 +1,632 @@
+"""The INR model zoo, as pure (init, apply) pairs over parameter pytrees.
+
+Every family reproduces the *intended* behavior of the corresponding reference
+module (file:line cites into /root/reference) — the reference's known defects
+(SURVEY.md §2.6: the mscale_HL first-layer detach, the hier heads missing from
+``parameters()``, the cubic factory arg swap, unbatchable sigmoid forward) are
+fixed by default; where a defect changed published numbers, a compat flag
+reproduces it (``detach_split`` for mscale_HL).
+
+Topology shared by all families (e.g. wire.py:127-159, bspline_form.py:72-115):
+``[first nonlin layer] + hidden_layers x [nonlin layer] + [final linear]``,
+coords in [-1, 1], real outputs (complex models return the real part,
+wire.py:161-167).
+
+Apply functions take coords shaped ``(..., in_features)`` with any leading
+batch dims and return ``(..., out_features)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import activations as act
+from wire_tpu.nn import init as winit
+from wire_tpu.nn.layers import complex_linear, complex_linear_from_real, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class INRSpec:
+    """The uniform configuration surface of the model factory
+    (models.py:27-75 in the reference), plus rebuild extensions."""
+    nonlin: str
+    in_features: int = 2
+    hidden_features: int = 256
+    hidden_layers: int = 2
+    out_features: int = 1
+    scaled_hidden_features: int | None = None
+    outermost_linear: bool = True
+    first_omega0: float = 30.0
+    hidden_omega0: float = 30.0
+    scale: float = 10.0
+    scale_tensor: tuple = ()
+    pos_encode: bool = False
+    sidelength: int | tuple = 512
+    fn_samples: int | None = None
+    use_nyquist: bool = True
+    # --- rebuild extensions -------------------------------------------------
+    # mscale_HL: reproduce the reference's stop-gradient of the sliced first
+    # layer (bspline_mscale_HL.py:89-90) for number parity. Default False =
+    # intended behavior (first layer trains).
+    detach_split: bool = False
+    # mscale_HL: width of the slice given the base scale (hardcoded 256 at
+    # bspline_mscale_HL.py:88).
+    base_split: int = 256
+    # mscale_2 combiner mode at forward time (hardcoded 'freq_combine' at
+    # bspline_mscale_2.py:173; the combiner is built as 'both').
+    combine_type: str = "freq_combine"
+    dtype: Any = jnp.float32
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+class INR:
+    """A model family instance: ``params = m.init(key)``,
+    ``y = m.apply(params, coords)``."""
+
+    def __init__(self, spec: INRSpec, init_fn, apply_fn):
+        self.spec = spec
+        self._init = init_fn
+        self._apply = apply_fn
+
+    def init(self, key):
+        return self._init(key, self.spec)
+
+    def apply(self, params, coords, **kw):
+        return self._apply(params, coords, self.spec, **kw)
+
+    def num_params(self, params):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ===========================================================================
+# WIRE — complex Gabor (modules/wire.py)
+# ===========================================================================
+
+def _wire_hidden(spec):
+    # Complex params count double; the reference halves width by sqrt(2)
+    # (wire.py:119).
+    return int(spec.hidden_features / np.sqrt(2))
+
+
+def wire_init(key, spec: INRSpec):
+    h = _wire_hidden(spec)
+    keys = jax.random.split(key, spec.hidden_layers + 2)
+    params = {"first": winit.linear_params(keys[0], spec.in_features, h,
+                                           dtype=spec.dtype)}
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}"] = winit.complex_linear_params(
+            keys[1 + i], h, h, dtype=spec.dtype)
+    params["final"] = winit.complex_linear_params(
+        keys[-1], h, spec.out_features, dtype=spec.dtype)
+    return params
+
+
+def wire_apply(params, coords, spec: INRSpec):
+    # First layer is real->real linear then complex Gabor (wire.py:73-76:
+    # is_first uses a float linear).
+    z = linear(params["first"], coords)
+    xr, xi = act.complex_gabor_real_input(z, spec.first_omega0, spec.scale)
+    for i in range(spec.hidden_layers):
+        zr, zi = complex_linear(params[f"hidden_{i}"], xr, xi)
+        xr, xi = act.complex_gabor(zr, zi, spec.hidden_omega0, spec.scale)
+    yr, _ = complex_linear(params["final"], xr, xi)
+    return yr  # output.real (wire.py:164-165)
+
+
+# ===========================================================================
+# WIRE-2D — 2D Gabor (modules/wire2d.py)
+# ===========================================================================
+
+def wire2d_init(key, spec: INRSpec):
+    h = int(spec.hidden_features / 2)  # wire2d.py:92
+    keys = jax.random.split(key, 2 * (spec.hidden_layers + 1) + 1)
+    params = {
+        "first_lin": winit.linear_params(keys[0], spec.in_features, h,
+                                         dtype=spec.dtype),
+        "first_orth": winit.linear_params(keys[1], spec.in_features, h,
+                                          dtype=spec.dtype),
+    }
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}_lin"] = winit.complex_linear_params(
+            keys[2 + 2 * i], h, h, dtype=spec.dtype)
+        params[f"hidden_{i}_orth"] = winit.complex_linear_params(
+            keys[3 + 2 * i], h, h, dtype=spec.dtype)
+    params["final"] = winit.complex_linear_params(keys[-1], h,
+                                                  spec.out_features,
+                                                  dtype=spec.dtype)
+    return params
+
+
+def wire2d_apply(params, coords, spec: INRSpec):
+    # First layer: real linears (wire2d.py:36-54 with is_first), complex
+    # activation exp(1j*w*lin)*exp(-s^2(|lin|^2+|orth|^2)) (wire2d.py:56-67).
+    lin = linear(params["first_lin"], coords)
+    orth = linear(params["first_orth"], coords)
+    xr, xi = act.complex_gabor2d(lin, jnp.zeros_like(lin), orth,
+                                 jnp.zeros_like(orth),
+                                 spec.first_omega0, spec.scale)
+    for i in range(spec.hidden_layers):
+        lr, li = complex_linear(params[f"hidden_{i}_lin"], xr, xi)
+        orr, ori = complex_linear(params[f"hidden_{i}_orth"], xr, xi)
+        xr, xi = act.complex_gabor2d(lr, li, orr, ori,
+                                     spec.hidden_omega0, spec.scale)
+    yr, _ = complex_linear(params["final"], xr, xi)
+    return yr
+
+
+# ===========================================================================
+# SIREN (modules/siren.py)
+# ===========================================================================
+
+def siren_init(key, spec: INRSpec):
+    keys = jax.random.split(key, spec.hidden_layers + 2)
+    params = {"first": winit.siren_linear_params(
+        keys[0], spec.in_features, spec.hidden_features,
+        is_first=True, omega0=spec.first_omega0, dtype=spec.dtype)}
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}"] = winit.siren_linear_params(
+            keys[1 + i], spec.hidden_features, spec.hidden_features,
+            is_first=False, omega0=spec.hidden_omega0, dtype=spec.dtype)
+    if spec.outermost_linear:
+        params["final"] = winit.siren_final_linear_params(
+            keys[-1], spec.hidden_features, spec.out_features,
+            omega0=spec.hidden_omega0, dtype=spec.dtype)
+    else:
+        params["final"] = winit.siren_linear_params(
+            keys[-1], spec.hidden_features, spec.out_features,
+            is_first=False, omega0=spec.hidden_omega0, dtype=spec.dtype)
+    return params
+
+
+def siren_apply(params, coords, spec: INRSpec):
+    x = act.sine(linear(params["first"], coords), spec.first_omega0)
+    for i in range(spec.hidden_layers):
+        x = act.sine(linear(params[f"hidden_{i}"], x), spec.hidden_omega0)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return act.sine(linear(params["final"], x), spec.hidden_omega0)
+
+
+# ===========================================================================
+# Gauss (modules/gauss.py)
+# ===========================================================================
+
+def _plain_mlp_init(key, spec: INRSpec, in_features=None):
+    nin = spec.in_features if in_features is None else in_features
+    keys = jax.random.split(key, spec.hidden_layers + 2)
+    params = {"first": winit.linear_params(keys[0], nin, spec.hidden_features,
+                                           dtype=spec.dtype)}
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}"] = winit.linear_params(
+            keys[1 + i], spec.hidden_features, spec.hidden_features,
+            dtype=spec.dtype)
+    params["final"] = winit.linear_params(keys[-1], spec.hidden_features,
+                                          spec.out_features, dtype=spec.dtype)
+    return params
+
+
+def gauss_apply(params, coords, spec: INRSpec):
+    x = act.gauss(linear(params["first"], coords), spec.scale)
+    for i in range(spec.hidden_layers):
+        x = act.gauss(linear(params[f"hidden_{i}"], x), spec.scale)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return act.gauss(linear(params["final"], x), spec.scale)
+
+
+# ===========================================================================
+# ReLU (+ positional encoding) (modules/relu.py)
+# ===========================================================================
+
+def posenc_num_frequencies(spec: INRSpec):
+    """modules/relu.py:40-60 frequency-count selection."""
+    nf = spec.in_features
+    if nf == 3:
+        return 10
+    side = spec.sidelength
+    if isinstance(side, int):
+        side = (side, side)
+    if nf == 2:
+        samples = min(side[0], side[1])
+    elif nf == 1:
+        samples = spec.fn_samples if spec.fn_samples is not None else side[0]
+    else:
+        return 4
+    if not spec.use_nyquist:
+        return 4
+    nyquist_rate = 1 / (2 * (2 * 1 / samples))
+    import math
+    return int(math.floor(math.log(nyquist_rate, 2)))
+
+
+def posenc_out_dim(spec: INRSpec):
+    nf = posenc_num_frequencies(spec)
+    return spec.in_features + 2 * spec.in_features * nf
+
+
+def relu_init(key, spec: INRSpec):
+    nin = posenc_out_dim(spec) if spec.pos_encode else spec.in_features
+    return _plain_mlp_init(key, spec, in_features=nin)
+
+
+def relu_apply(params, coords, spec: INRSpec):
+    if spec.pos_encode:
+        coords = act.posenc(coords, posenc_num_frequencies(spec),
+                            spec.in_features)
+    x = act.relu(linear(params["first"], coords))
+    for i in range(spec.hidden_layers):
+        x = act.relu(linear(params[f"hidden_{i}"], x))
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return act.relu(linear(params["final"], x))
+
+
+# ===========================================================================
+# MFN — Gabor multiplicative filter network (modules/mfn.py)
+# ===========================================================================
+
+def mfn_init(key, spec: INRSpec):
+    k = spec.hidden_layers + 1
+    keys = jax.random.split(key, 2 * k + 1)
+    params = {}
+    for i in range(k):
+        params[f"gabor_{i}"] = winit.mfn_gabor_params(
+            keys[i], spec.in_features, spec.hidden_features,
+            alpha=6.0 / k, dtype=spec.dtype)
+    bound = np.sqrt(1.0 / spec.hidden_features)
+    for i in range(k - 1):
+        params[f"linear_{i}"] = winit.linear_params(
+            keys[k + i], spec.hidden_features, spec.hidden_features,
+            w_bound=bound, dtype=spec.dtype)
+    params["final"] = winit.linear_params(
+        keys[-1], spec.hidden_features, spec.out_features, dtype=spec.dtype)
+    return params
+
+
+def _mfn_gabor(p, x):
+    # exp(-gamma/2 * ||x - mu||^2) * sin(Wx + b)   (mfn.py:21-23)
+    norm = (jnp.sum(x * x, axis=-1, keepdims=True)
+            + jnp.sum(p["mu"] * p["mu"], axis=-1)[None, :]
+            - 2.0 * (x @ p["mu"].T))
+    return jnp.exp(-0.5 * p["gamma"] * norm) * jnp.sin(x @ p["w"] + p["b"])
+
+
+def mfn_apply(params, coords, spec: INRSpec):
+    # The reference forward indexes x[0, ...] and re-adds the batch dim
+    # (mfn.py:49-53); here leading dims broadcast naturally.
+    k = spec.hidden_layers + 1
+    z = _mfn_gabor(params["gabor_0"], coords)
+    for i in range(k - 1):
+        z = linear(params[f"linear_{i}"], z) * _mfn_gabor(
+            params[f"gabor_{i + 1}"], coords)
+    return linear(params["final"], z)
+
+
+# ===========================================================================
+# B-spline families (modules/bspline_*.py)
+# ===========================================================================
+# Scale conventions differ across the reference variants:
+#   'divide': B(Wx / sigma)      bspline_form.py:44, mscale_HL/hier/2
+#   'pre'   : B(W(sigma * x))    bspline_mscale_1.py:43, bspline_cubic.py:45
+#   'post'  : B(sigma * Wx)      bspline_mscale_repIN.py:41-42
+
+def _bspline_layer(p, x, sigma, mode, basis=act.bspline_quadratic):
+    if mode == "pre":
+        return basis(linear(p, sigma * x))
+    z = linear(p, x)
+    if mode == "divide":
+        return basis(z / sigma)
+    if mode == "post":
+        return basis(sigma * z)
+    raise ValueError(mode)
+
+
+def bspline_form_apply(params, coords, spec: INRSpec):
+    x = _bspline_layer(params["first"], coords, spec.scale, "divide")
+    for i in range(spec.hidden_layers):
+        x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "divide")
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, spec.scale, "divide")
+
+
+def bspline_cubic_apply(params, coords, spec: INRSpec):
+    x = _bspline_layer(params["first"], coords, spec.scale, "pre",
+                       act.bspline_cubic)
+    for i in range(spec.hidden_layers):
+        x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "pre",
+                           act.bspline_cubic)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, spec.scale, "pre",
+                          act.bspline_cubic)
+
+
+def bspline_srelu_apply(params, coords, spec: INRSpec):
+    def f(p, x):
+        return act.bspline_srelu(linear(p, x), spec.scale)
+    x = f(params["first"], coords)
+    for i in range(spec.hidden_layers):
+        x = f(params[f"hidden_{i}"], x)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return f(params["final"], x)
+
+
+def bspline_sig_apply(params, coords, spec: INRSpec):
+    neg = coords[..., :1] < 0
+    def f(p, x):
+        return act.bspline_sigmoid(linear(p, x), neg, spec.first_omega0,
+                                   spec.scale)
+    x = f(params["first"], coords)
+    for i in range(spec.hidden_layers):
+        x = f(params[f"hidden_{i}"], x)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return f(params["final"], x)
+
+
+_DEBOOR_KNOTS = (-1.5, -1.5, -1.5, -0.5, 0.5, 1.5, 1.5, 1.5)
+
+
+def bspline_knots_apply(params, coords, spec: INRSpec):
+    def f(p, x):
+        return act.bspline_deboor(linear(p, x), _DEBOOR_KNOTS, degree=2)
+    x = f(params["first"], coords)
+    for i in range(spec.hidden_layers):
+        x = f(params[f"hidden_{i}"], x)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return f(params["final"], x)
+
+
+# --- mscale_1: parallel scaled first layer (modules/bspline_mscale_1.py) ----
+
+def mscale1_init(key, spec: INRSpec):
+    shf = spec.scaled_hidden_features
+    ns = len(spec.scale_tensor)
+    # hidden_layers is decremented once (bspline_mscale_1.py:115) and the body
+    # loop runs hidden_layers-1 more times -> total trunk depth below.
+    extra = max(spec.hidden_layers - 2, 0)
+    keys = jax.random.split(key, extra + 3)
+    params = {
+        "first": winit.linear_params(keys[0], spec.in_features, shf,
+                                     dtype=spec.dtype),
+        "trunk_in": winit.linear_params(keys[1], shf * ns,
+                                        spec.hidden_features,
+                                        dtype=spec.dtype),
+    }
+    for i in range(extra):
+        params[f"hidden_{i}"] = winit.linear_params(
+            keys[2 + i], spec.hidden_features, spec.hidden_features,
+            dtype=spec.dtype)
+    params["final"] = winit.linear_params(keys[-1], spec.hidden_features,
+                                          spec.out_features, dtype=spec.dtype)
+    return params
+
+
+def mscale1_apply(params, coords, spec: INRSpec):
+    # First layer: one shared Linear applied to scale*input per scale, concat
+    # along features; the reference returns the *raw* linear output (the
+    # B-spline application is commented out, bspline_mscale_1.py:80-87).
+    outs = [linear(params["first"], s * coords) for s in spec.scale_tensor]
+    x = jnp.concatenate(outs, axis=-1)
+    x = _bspline_layer(params["trunk_in"], x, spec.scale, "pre")
+    for i in range(max(spec.hidden_layers - 2, 0)):
+        x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "pre")
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, spec.scale, "pre")
+
+
+# --- mscale_repIN: replicated scaled inputs (bspline_mscale_repIN.py) -------
+
+def mscale_repin_apply(params, coords, spec: INRSpec):
+    # Forward tiles coords per scale into a widened vector
+    # (bspline_mscale_repIN.py:110-119): in_features = 2*nscales*repeat.
+    # The reference's permute(1,0,2,3).reshape(B,-1,in) interleaves rows in a
+    # specific (scale-major) flattening; mirrored exactly here.
+    if coords.ndim == 2:
+        coords = coords[None]
+        squeeze = True
+    else:
+        squeeze = False
+    B, N, coord_dim = coords.shape
+    ns = len(spec.scale_tensor)
+    repeat = spec.in_features // (coord_dim * ns)
+    scales = jnp.asarray(spec.scale_tensor, coords.dtype)
+    scaled = scales[None, :, None, None] * coords[:, None]   # (B, ns, N, d)
+    tiled = jnp.tile(scaled, (1, 1, 1, repeat))              # (B, ns, N, d*r)
+    x = jnp.transpose(tiled, (1, 0, 2, 3)).reshape(
+        B, -1, ns * coord_dim * repeat)
+    if squeeze:
+        x = x[0]
+    x = _bspline_layer(params["first"], x, spec.scale, "post")
+    for i in range(spec.hidden_layers):
+        x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "post")
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, spec.scale, "post")
+
+
+# --- mscale_HL: split first layer into High/Low bands (bspline_mscale_HL.py)
+
+def mscale_hl_init(key, spec: INRSpec):
+    shf = spec.scaled_hidden_features
+    extra = max(spec.hidden_layers - 1, 0)
+    keys = jax.random.split(key, extra + 3)
+    params = {
+        "first": winit.linear_params(keys[0], spec.in_features, shf,
+                                     dtype=spec.dtype),
+        "trunk_in": winit.linear_params(keys[1], shf, spec.hidden_features,
+                                        dtype=spec.dtype),
+    }
+    for i in range(extra):
+        params[f"hidden_{i}"] = winit.linear_params(
+            keys[2 + i], spec.hidden_features, spec.hidden_features,
+            dtype=spec.dtype)
+    params["final"] = winit.linear_params(keys[-1], spec.hidden_features,
+                                          spec.out_features, dtype=spec.dtype)
+    return params
+
+
+def mscale_hl_apply(params, coords, spec: INRSpec):
+    # One wide first Linear, output sliced per scale band
+    # (bspline_mscale_HL.py:85-97): first `base_split` units at
+    # scale_tensor[0], the rest split evenly across remaining scales.
+    scales = spec.scale_tensor
+    lin = linear(params["first"], coords)
+    width = lin.shape[-1]
+    base = spec.base_split
+    nrest = len(scales) - 1
+    pieces = []
+    bounds = [0, base]
+    if nrest > 0:
+        split = (width - base) // nrest
+        for i in range(nrest):
+            bounds.append(base + (i + 1) * split)
+    for i, s in enumerate(scales):
+        seg = lin[..., bounds[i]:bounds[i + 1]]
+        if spec.detach_split:
+            # Reference-compat: slices are detached so the first Linear never
+            # trains (bspline_mscale_HL.py:89-90).
+            seg = jax.lax.stop_gradient(seg)
+        pieces.append(act.bspline_quadratic(seg / s))
+    x = jnp.concatenate(pieces, axis=-1)
+    x = _bspline_layer(params["trunk_in"], x, spec.scale, "divide")
+    for i in range(max(spec.hidden_layers - 1, 0)):
+        x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "divide")
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, spec.scale, "divide")
+
+
+# --- mscale_2: per-scale full passes + learned combiner (bspline_mscale_2.py)
+
+def mscale2_init(key, spec: INRSpec):
+    ns = len(spec.scale_tensor)
+    keys = jax.random.split(key, spec.hidden_layers + 7)
+    params = {"first": winit.linear_params(keys[0], spec.in_features,
+                                           spec.hidden_features,
+                                           dtype=spec.dtype)}
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}"] = winit.linear_params(
+            keys[1 + i], spec.hidden_features, spec.hidden_features,
+            dtype=spec.dtype)
+    params["final"] = winit.linear_params(keys[spec.hidden_layers + 1],
+                                          spec.hidden_features,
+                                          spec.out_features, dtype=spec.dtype)
+    k = spec.hidden_layers + 2
+    # AdaptiveScaleCombiner built as 'both' (bspline_mscale_2.py:124): all
+    # three heads exist as params even though the forward only uses freq_mlp
+    # under the default 'freq_combine' mode.
+    params["combiner"] = {
+        "scale_weights": jnp.ones((ns,), spec.dtype),
+        "freq_0": winit.linear_params(keys[k], ns * spec.out_features, 128,
+                                      dtype=spec.dtype),
+        "freq_1": winit.linear_params(keys[k + 1], 128, spec.out_features,
+                                      dtype=spec.dtype),
+        "refine_0": winit.linear_params(keys[k + 2], spec.out_features, 128,
+                                        dtype=spec.dtype),
+        "refine_1": winit.linear_params(keys[k + 3], 128, spec.out_features,
+                                        dtype=spec.dtype),
+    }
+    return params
+
+
+def _mscale2_trunk(params, coords, spec, s):
+    x = _bspline_layer(params["first"], coords, s, "divide")
+    for i in range(spec.hidden_layers):
+        x = _bspline_layer(params[f"hidden_{i}"], x, s, "divide")
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _bspline_layer(params["final"], x, s, "divide")
+
+
+def mscale2_apply(params, coords, spec: INRSpec):
+    # The whole trunk runs once per scale (bspline_mscale_2.py:159-172);
+    # here the scales are vmapped so XLA batches the per-scale GEMMs.
+    scales = jnp.asarray(spec.scale_tensor, coords.dtype)
+    outs = jax.vmap(lambda s: _mscale2_trunk(params, coords, spec, s))(scales)
+    c = params["combiner"]
+    mode = spec.combine_type
+    if mode == "scale_weights":
+        w = c["scale_weights"].reshape((-1,) + (1,) * (outs.ndim - 1))
+        return jnp.sum(w * outs, axis=0)
+    if mode == "freq_combine":
+        cat = jnp.concatenate(list(outs), axis=-1)
+        return linear(c["freq_1"], act.relu(linear(c["freq_0"], cat)))
+    if mode == "both":
+        w = c["scale_weights"].reshape((-1,) + (1,) * (outs.ndim - 1))
+        cat = jnp.concatenate(list(w * outs), axis=-1)
+        y = linear(c["freq_1"], act.relu(linear(c["freq_0"], cat)))
+        return linear(c["refine_1"], act.relu(linear(c["refine_0"], y)))
+    raise ValueError(mode)
+
+
+# --- mscale_hier: hierarchical stages (bspline_mscale_hier.py) --------------
+
+def mscale_hier_init(key, spec: INRSpec):
+    nstages = len(spec.scale_tensor)
+    params = {"stages": [], "heads": []}
+    keys = jax.random.split(key, nstages)
+    for stage in range(nstages):
+        sk = jax.random.split(keys[stage], spec.hidden_layers + 2)
+        layers = [winit.linear_params(sk[0], spec.in_features,
+                                      spec.hidden_features, dtype=spec.dtype)]
+        width_in = (spec.hidden_features * 2 if stage != 0
+                    else spec.hidden_features)
+        layers.append(winit.linear_params(sk[1], width_in,
+                                          spec.hidden_features,
+                                          dtype=spec.dtype))
+        for i in range(spec.hidden_layers - 1):
+            layers.append(winit.linear_params(sk[2 + i], spec.hidden_features,
+                                              spec.hidden_features,
+                                              dtype=spec.dtype))
+        params["stages"].append(layers)
+        # Heads registered as real params — the reference kept them in a plain
+        # Python list, silently excluding them from model.parameters()
+        # (bspline_mscale_hier.py:72,110); fixed here.
+        params["heads"].append(winit.linear_params(
+            sk[-1], spec.hidden_features, spec.out_features, dtype=spec.dtype))
+    return params
+
+
+def mscale_hier_apply(params, coords, spec: INRSpec):
+    outs = []
+    x = coords
+    for stage, s in enumerate(spec.scale_tensor):
+        layers = params["stages"][stage]
+        if stage == 0:
+            for lp in layers:
+                x = _bspline_layer(lp, x, s, "divide")
+        else:
+            # Stage k>0 (bspline_mscale_hier.py:112-122): first layer on the
+            # raw coords, second on concat with the previous stage's trunk
+            # output, remaining layers sequential.
+            x_in = _bspline_layer(layers[0], coords, s, "divide")
+            x = _bspline_layer(layers[1],
+                               jnp.concatenate([x_in, x], axis=-1), s,
+                               "divide")
+            for lp in layers[2:]:
+                x = _bspline_layer(lp, x, s, "divide")
+        outs.append(linear(params["heads"][stage], x))
+    return sum(outs)
+
+
+# ===========================================================================
+# Generic init for the plain real families
+# ===========================================================================
+
+def bspline_plain_init(key, spec: INRSpec):
+    return _plain_mlp_init(key, spec)
+
+
+def mscale_repin_init(key, spec: INRSpec):
+    return _plain_mlp_init(key, spec)
