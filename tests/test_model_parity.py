@@ -83,13 +83,23 @@ def test_coord_grad_parity(nonlin, kw, _):
     model = get_inr(nonlin, **base)
     coords = _coords(n=65, d=base["in_features"] if nonlin not in
                      ("bspline_mscale_repIN",) else 2)
-    y_ref, g_ref = tb.torch_forward_and_coord_grad(ref, coords)
     jparams = jax.tree.map(jnp.asarray, params)
 
     def f(c):
         return jnp.sum(model.apply(jparams, c))
 
     g = np.asarray(jax.grad(f)(jnp.asarray(coords)))
+    if nonlin == "bspline_mscale_HL":
+        # With the reference's detach compat flag the only path to coords is
+        # stop-gradiented (torch x.grad is None); ours must be exactly zero,
+        # and nonzero once the defect fix is active.
+        assert np.all(g == 0)
+        model2 = get_inr(nonlin, **{**base, "detach_split": False})
+        g2 = np.asarray(jax.grad(
+            lambda c: jnp.sum(model2.apply(jparams, c)))(jnp.asarray(coords)))
+        assert np.any(g2 != 0)
+        return
+    y_ref, g_ref = tb.torch_forward_and_coord_grad(ref, coords)
     # atol accommodates f32 cancellation across the shifted relu^2/relu^3
     # B-spline terms at large sigma
     np.testing.assert_allclose(g, g_ref.reshape(g.shape), rtol=5e-4,
