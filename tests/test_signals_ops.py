@@ -1,0 +1,123 @@
+"""Tests for coordinate grids, noise model, resampling ops, and Radon."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.signals import coords as C
+from wire_tpu.signals import image as I
+from wire_tpu.signals import noise as N
+from wire_tpu.ops import resample as R
+from wire_tpu.operators.radon import radon as radon_fn
+
+
+def test_grid2d_matches_reference_layout():
+    import torch
+    H, W = 5, 7
+    x = torch.linspace(-1, 1, W)
+    y = torch.linspace(-1, 1, H)
+    X, Y = torch.meshgrid(x, y, indexing="xy")
+    ref = torch.hstack((X.reshape(-1, 1), Y.reshape(-1, 1))).numpy()
+    np.testing.assert_allclose(C.grid2d(H, W), ref, atol=1e-7)
+
+
+def test_grid3d_matches_reference_layout():
+    H, W, T = 3, 4, 5
+    X, Y, Z = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                          np.linspace(-1, 1, T))
+    ref = np.hstack((X.reshape(-1, 1), Y.reshape(-1, 1), Z.reshape(-1, 1)))
+    np.testing.assert_allclose(C.grid3d(H, W, T), ref, atol=1e-7)
+
+
+def test_measure_np_statistics():
+    rng = np.random.RandomState(0)
+    x = np.full((200, 200), 0.5, np.float32)
+    y = N.measure_np(x, noise_snr=2, tau=100, rng=rng)
+    # mean approx preserved; variance approx (0.5*100)/100^2 + (2/100)^2
+    assert abs(y.mean() - 0.5) < 0.01
+    var_expected = 0.5 / 100 + (2 / 100) ** 2
+    assert abs(y.var() - var_expected) / var_expected < 0.1
+
+
+def test_measure_jax_matches_law():
+    x = jnp.full((300, 300), 0.25, jnp.float32)
+    y = N.measure(jax.random.key(0), x, noise_snr=2, tau=100)
+    y = np.asarray(y)
+    assert abs(y.mean() - 0.25) < 0.01
+    var_expected = 0.25 / 100 + 0.02 ** 2
+    assert abs(y.var() - var_expected) / var_expected < 0.1
+
+
+@pytest.mark.parametrize("angle", [0.0, 13.0, -37.5, 90.0, 180.0])
+def test_rotate_matches_cv2(angle):
+    import cv2
+    im = I.synthetic_image(48, 64, channels=1, seed=1)[..., 0]
+    H, W = im.shape
+    M = cv2.getRotationMatrix2D(((W - 1) / 2, (H - 1) / 2), angle, 1.0)
+    ref = cv2.warpAffine(im, M, (W, H), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    mine = np.asarray(R.rotate(jnp.asarray(im), angle))
+    # cv2 uses 5-bit fixed-point interp weights -> ~1e-2 worst-case per pixel
+    assert np.abs(mine - ref).max() < 2e-2
+    assert np.abs(mine - ref).mean() < 2e-3
+
+
+def test_rotate_is_differentiable():
+    im = jnp.asarray(I.synthetic_image(16, 16, channels=1)[..., 0])
+    g = jax.grad(lambda x: jnp.sum(R.rotate(x, 30.0) ** 2))(im)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_radon_sums_match_mass_conservation():
+    """Projection at any angle approximately preserves total mass for a
+    compactly-supported image (interpolation loses only border mass)."""
+    im = np.zeros((64, 64), np.float32)
+    im[20:44, 24:40] = 1.0
+    sino = np.asarray(radon_fn(jnp.asarray(im),
+                                      jnp.linspace(0, 180, 20)))
+    mass = im.sum()
+    np.testing.assert_allclose(sino.sum(axis=-1), mass, rtol=5e-3)
+
+
+def test_radon_disk_analytic():
+    """Sinogram of a centered disk is angle-independent and matches the
+    analytic chord length 2*sqrt(r^2 - s^2)."""
+    Nn = 128
+    y, x = np.mgrid[0:Nn, 0:Nn]
+    c = (Nn - 1) / 2
+    r = 30.0
+    im = ((x - c) ** 2 + (y - c) ** 2 <= r * r).astype(np.float32)
+    angles = jnp.asarray([0.0, 30.0, 77.0, 120.0])
+    sino = np.asarray(radon_fn(jnp.asarray(im), angles))
+    # angle independence
+    assert np.abs(sino - sino[0]).max() < 3.0  # edge pixels only
+    s = np.arange(Nn) - c
+    chord = 2 * np.sqrt(np.clip(r * r - s * s, 0, None))
+    # interior agreement within a pixel's worth of mass
+    mask = np.abs(s) < r - 2
+    assert np.abs(sino[0][mask] - chord[mask]).max() < 2.5
+
+
+def test_grid_sample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.default_rng(0)
+    im = rng.standard_normal((9, 11)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (5, 6, 2)).astype(np.float32)
+    for ac in (True, False):
+        ref = F.grid_sample(torch.tensor(im)[None, None],
+                            torch.tensor(grid)[None], mode="bilinear",
+                            padding_mode="zeros", align_corners=ac)
+        mine = np.asarray(R.grid_sample(jnp.asarray(im), jnp.asarray(grid),
+                                        align_corners=ac))
+        np.testing.assert_allclose(mine, ref[0, 0].numpy(), atol=2e-6)
+
+
+def test_avg_pool_matches_torch():
+    import torch
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 12, 8)).astype(np.float32)
+    ref = torch.nn.AvgPool2d(4)(torch.tensor(x)).numpy()
+    mine = np.asarray(R.avg_pool2d(jnp.asarray(x), 4))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)

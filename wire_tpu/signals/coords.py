@@ -1,0 +1,46 @@
+"""Coordinate grids in [-1, 1].
+
+Matches the reference's layouts exactly:
+- 2D (utils.py:163-176 / script-local meshgrids, e.g.
+  bspline_image_denoise.py:71-76): ``X, Y = meshgrid(linspace(W), linspace(H))``
+  with 'xy' indexing, flattened row-major and stacked (x, y) — x varies
+  fastest along W.
+- 3D (utils.py:168-175): ``np.meshgrid(x_W, y_H, z_T)`` default 'xy' indexing,
+  giving (H, W, T)-shaped grids.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def grid2d(H, W, dtype=np.float32):
+    """(H*W, 2) coords, x fastest, matching utils.get_coords 2D."""
+    x = np.linspace(-1, 1, W, dtype=dtype)
+    y = np.linspace(-1, 1, H, dtype=dtype)
+    X, Y = np.meshgrid(x, y)
+    return np.stack([X.ravel(), Y.ravel()], axis=-1)
+
+
+def grid3d(H, W, T, dtype=np.float32):
+    """(H*W*T, 3) coords matching utils.get_coords 3D ('xy' meshgrid)."""
+    x = np.linspace(-1, 1, H, dtype=dtype)
+    y = np.linspace(-1, 1, W, dtype=dtype)
+    z = np.linspace(-1, 1, T, dtype=dtype)
+    X, Y, Z = np.meshgrid(x, y, z)
+    return np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+
+
+def get_coords(H, W, T=None, dtype=np.float32):
+    """utils.get_coords-compatible entry point."""
+    if T is None:
+        return grid2d(H, W, dtype)
+    return grid3d(H, W, T, dtype)
+
+
+def jgrid2d(H, W, dtype=jnp.float32):
+    """On-device 2D grid (same layout as grid2d)."""
+    x = jnp.linspace(-1, 1, W, dtype=dtype)
+    y = jnp.linspace(-1, 1, H, dtype=dtype)
+    X, Y = jnp.meshgrid(x, y)
+    return jnp.stack([X.ravel(), Y.ravel()], axis=-1)
