@@ -1,0 +1,157 @@
+"""Trainer tests: exact Adam+schedule parity with a torch reference loop,
+convergence of the pointwise fitter, and the operator fitter."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+from wire_tpu.signals import coords as C
+from wire_tpu.signals import image as I
+from wire_tpu.train import metrics as M
+from wire_tpu.train.trainer import FitConfig, fit_pointwise, fit_operator
+
+from . import torch_bridge as tb
+
+
+def test_full_batch_training_matches_torch_adam():
+    """With a single chunk per epoch (maxpoints >= npoints) the reference
+    loop is deterministic full-batch Adam + LambdaLR; our jitted scan must
+    track it step for step."""
+    import torch
+
+    H = W = 16
+    im = I.synthetic_image(H, W, 3, seed=2)
+    coords = C.grid2d(H, W)
+    target = im.reshape(-1, 3)
+
+    base = dict(in_features=2, hidden_features=32, hidden_layers=2,
+                out_features=3, first_omega0=7.0, hidden_omega0=7.0,
+                scale=8.0)
+    ref = tb.make_ref_model("wire", **base)
+    params = tb.params_from_ref("wire", ref, 2)
+    model = get_inr("wire", **base)
+
+    niters = 40
+    lr = 5e-3
+
+    # --- torch loop (the reference denoise loop shape, full batch) ---------
+    tcoords = torch.tensor(coords)[None]
+    ttarget = torch.tensor(target)[None]
+    optim = torch.optim.Adam(lr=lr, params=ref.parameters())
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        optim, lambda x: 0.1 ** min(x / niters, 1))
+    tl = []
+    for _ in range(niters):
+        pred = ref(tcoords)
+        loss = ((pred - ttarget) ** 2).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        sched.step()
+        tl.append(loss.item())
+
+    # --- ours -------------------------------------------------------------
+    # --- strict one-step parity: grads and Adam update must match exactly --
+    import optax
+    from wire_tpu.train.trainer import make_optimizer
+    ref1 = tb.make_ref_model("wire", **base)
+    params1 = jax.tree.map(jnp.asarray, tb.params_from_ref("wire", ref1, 2))
+    o1 = torch.optim.Adam(lr=lr, params=ref1.parameters())
+    l1 = ((ref1(tcoords) - ttarget) ** 2).mean()
+    o1.zero_grad(); l1.backward(); o1.step()
+    pt1 = tb.params_from_ref("wire", ref1, 2)
+    tx = make_optimizer(FitConfig(learning_rate=lr, niters=niters,
+                                  maxpoints=H * W), params1,
+                        npoints=H * W, nchunks=1)
+    st = tx.init(params1)
+    g = jax.grad(lambda p: jnp.mean(
+        (model.apply(p, jnp.asarray(coords)) - jnp.asarray(target)) ** 2))(
+            params1)
+    up, st = tx.update(g, st, params1)
+    pj1 = optax.apply_updates(params1, up)
+    for leaf_mine, leaf_ref in zip(jax.tree.leaves(pj1),
+                                   jax.tree.leaves(pt1)):
+        np.testing.assert_allclose(np.asarray(leaf_mine), leaf_ref,
+                                   atol=2e-6)
+
+    # --- loose trajectory check: f32 rounding drifts chaotically under
+    # Adam; after 40 steps the loss must still agree within a few percent --
+    cfg = FitConfig(learning_rate=lr, niters=niters, maxpoints=H * W)
+    res = fit_pointwise(model, jax.tree.map(jnp.asarray, params), coords,
+                        target, cfg, track="noisy", donate=False)
+    with torch.no_grad():
+        final_torch = ((ref(tcoords) - ttarget) ** 2).mean().item()
+    final_mine = float(res.mse_noisy[-1])
+    assert abs(final_mine - final_torch) / final_torch < 0.05, (
+        final_mine, final_torch)
+
+
+def test_pointwise_fit_converges():
+    H = W = 64
+    im = I.synthetic_image(H, W, 3, seed=0)
+    coords = C.grid2d(H, W)
+    target = im.reshape(-1, 3)
+    model = get_inr("wire", in_features=2, hidden_features=128,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=500, maxpoints=1024)
+    res = fit_pointwise(model, params, coords, target, cfg, track="noisy")
+    psnr = float(M.psnr_ref(im, res.best_rec.reshape(H, W, 3)))
+    assert psnr > 24.0, psnr
+    assert res.mse_noisy[-1] < res.mse_noisy[0] / 10
+
+
+def test_pointwise_fit_with_remainder_chunk():
+    """npoints not divisible by maxpoints exercises the OOB-sentinel
+    masking path."""
+    H, W = 17, 23
+    im = I.synthetic_image(H, W, 1, seed=1)
+    coords = C.grid2d(H, W)
+    target = im.reshape(-1, 1)
+    model = get_inr("bspline_form", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=1, first_omega0=-0.2,
+                    hidden_omega0=-0.2, scale=2.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=1e-2, niters=300, maxpoints=100)
+    res = fit_pointwise(model, params, coords, target, cfg, track="noisy")
+    # this test exercises the OOB-sentinel masking path, not fidelity
+    assert res.mse_noisy[-1] < res.mse_noisy[0] / 2
+    # every point must have been reconstructed (no zeros left from init)
+    assert np.count_nonzero(res.final_rec) == res.final_rec.size
+
+
+def test_operator_fit_sisr():
+    """Fit through the area-downsample operator (SISR loop shape)."""
+    from wire_tpu.operators.forward import sisr_op
+    H = W = 32
+    scale = 4
+    im = I.synthetic_image(H, W, 3, seed=3)
+    lr_img = im.reshape(H // scale, scale, W // scale, scale, 3).mean((1, 3))
+    coords = C.grid2d(H, W)
+    model = get_inr("siren", in_features=2, hidden_features=48,
+                    hidden_layers=2, out_features=3, first_omega0=10.0,
+                    hidden_omega0=10.0)
+    params = model.init(jax.random.key(1))
+    cfg = FitConfig(learning_rate=1e-3, niters=200, lr_decay=0.2)
+    res = fit_operator(model, params, coords, lr_img,
+                       lambda f: sisr_op(f, scale), cfg,
+                       field_shape=(H, W, 3), track="noisy")
+    assert res.mse_noisy[-1] < res.mse_noisy[0] / 10
+
+
+def test_per_stage_lr_groups():
+    """Tuple learning_rate drives the multi-transform path for hierarchical
+    models (reference param-group workaround)."""
+    model = get_inr("bspline_mscale_hier", in_features=2, hidden_features=16,
+                    hidden_layers=2, out_features=1, first_omega0=-0.2,
+                    hidden_omega0=-0.2, scale=2.0, scale_tensor=(1.0, 4.0))
+    params = model.init(jax.random.key(0))
+    H = W = 16
+    im = I.synthetic_image(H, W, 1, seed=0)
+    cfg = FitConfig(learning_rate=(1e-2, 5e-3), niters=60, maxpoints=H * W)
+    res = fit_pointwise(model, params, C.grid2d(H, W), im.reshape(-1, 1),
+                        cfg, track="noisy")
+    assert res.mse_noisy[-1] < res.mse_noisy[0] / 3

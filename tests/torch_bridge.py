@@ -36,11 +36,13 @@ def cpu_torch():
 
 
 def t2n(t):
-    return t.detach().cpu().numpy()
+    # always materialize a fresh buffer: jax's CPU backend may zero-copy
+    # numpy arrays, and torch optimizer steps would mutate shared memory
+    return np.array(t.detach().cpu().numpy())
 
 
 def _lin(mod):
-    p = {"w": t2n(mod.weight).T}
+    p = {"w": np.array(t2n(mod.weight).T)}
     if mod.bias is not None:
         p["b"] = t2n(mod.bias)
     return p

@@ -1,0 +1,275 @@
+"""The trainer the reference never had (SURVEY.md §7 L4): jitted Adam fitting
+of an INR to one signal, with the reference loop semantics —
+
+- per-epoch random permutation of the coordinate grid, chunks of ``maxpoints``
+  (wire_image_denoise.py:142-157, wire_occupancy.py:136-158)
+- Adam with torch defaults + LambdaLR ``decay^(epoch/niters)`` stepped per
+  epoch (bspline_image_denoise.py:135) or per iteration (bspline_ct.py:141)
+- running reconstruction buffer + best-metric tracking
+  (bspline_image_denoise.py:155-193)
+- optional per-stage learning-rate groups for hierarchical models
+  (bspline_ct.py:122-133)
+
+TPU-first: the entire epoch (permutation, chunked fwd/bwd, Adam update,
+epoch metrics, best tracking) is one XLA program — ``lax.scan`` over chunks
+inside ``lax.scan`` over epochs — so a full 2000-epoch fit is a single device
+dispatch.  Coordinates can be sharded over a device mesh (see wire_tpu.dist).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    learning_rate: Any = 5e-3      # float, or tuple of per-stage LRs
+    niters: int = 2000             # epochs (outer loop)
+    maxpoints: int = 256 * 256     # chunk size (inner loop)
+    lr_decay: float = 0.1          # final LR multiplier
+    # reference denoise scripts scale LR by min(1, maxpoints/npoints)
+    # (bspline_image_denoise.py:116-118)
+    scale_lr_by_batch: bool = False
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    seed: int = 0
+    # 'epoch': scheduler steps once per epoch (denoise scripts);
+    # 'iter': once per optimizer step (CT/SISR full-grid scripts)
+    schedule_per: str = "epoch"
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Any
+    best_params: Any
+    best_rec: Any           # reconstruction with the best tracked metric
+    final_rec: Any
+    mse_gt: np.ndarray      # per-epoch MSE vs clean ground truth
+    mse_noisy: np.ndarray   # per-epoch MSE vs (noisy) fitting target
+    best_mse: float
+    wall_time_s: float
+    time_array: Optional[np.ndarray] = None
+
+
+def _lr_schedule(cfg: FitConfig, nchunks: int):
+    base = cfg.learning_rate if np.isscalar(cfg.learning_rate) else 1.0
+
+    def schedule(step):
+        if cfg.schedule_per == "epoch":
+            t = jnp.floor_divide(step, nchunks)
+        else:
+            t = step
+        frac = jnp.minimum(t / cfg.niters, 1.0)
+        return base * (cfg.lr_decay ** frac)
+
+    return schedule
+
+
+def make_optimizer(cfg: FitConfig, params, npoints=None, nchunks=1):
+    """Adam matching torch defaults. A tuple learning_rate builds per-stage
+    param groups keyed on the 'stages'/'heads' structure of hierarchical
+    models (the reference's param-group workaround, bspline_ct.py:122-133)."""
+    batch_scale = 1.0
+    if cfg.scale_lr_by_batch and npoints is not None:
+        batch_scale = min(1.0, cfg.maxpoints / npoints)
+    sched = _lr_schedule(cfg, nchunks)
+
+    if np.isscalar(cfg.learning_rate):
+        tx = optax.chain(
+            optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                                eps_root=0.0),
+            optax.scale_by_schedule(lambda s: -sched(s) * batch_scale),
+        )
+        return tx
+
+    # per-stage LR list: label each leaf by its stage index
+    lrs = tuple(cfg.learning_rate)
+
+    def label_tree(params):
+        def lab(path, leaf):
+            for entry in path:
+                if isinstance(entry, jax.tree_util.SequenceKey):
+                    return f"stage_{entry.idx}"
+            return "stage_0"
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    transforms = {}
+    for i, lr in enumerate(lrs):
+        transforms[f"stage_{i}"] = optax.chain(
+            optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                                eps_root=0.0),
+            optax.scale_by_schedule(
+                partial(lambda s, lr=lr: -sched(s) * lr * batch_scale)),
+        )
+    return optax.multi_transform(transforms, label_tree)
+
+
+def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
+                  gt=None, track="gt", tv_weight=0.0, image_shape=None,
+                  donate=True, epoch_metric: Optional[Callable] = None):
+    """Fit an INR pointwise to ``target`` sampled at ``coords``.
+
+    coords: (N, d); target: (N, c); gt: optional clean (N, c) for metrics and
+    best tracking (track='gt') — track='noisy' tracks the fitting loss
+    (wire_occupancy.py:168-172 tracks train loss; denoise tracks gt MSE).
+    tv_weight: optional total-variation regularization (computed WITH
+    gradient, fixing the reference's no_grad TV, bspline_image_denoise.py:160-172;
+    requires image_shape=(H, W, C)).
+
+    Runs the whole fit in one jitted scan-over-epochs program.
+    """
+    coords = jnp.asarray(coords)
+    target = jnp.asarray(target)
+    gt_arr = target if gt is None else jnp.asarray(gt)
+    npoints = coords.shape[0]
+    mp = min(cfg.maxpoints, npoints)
+    nchunks = (npoints + mp - 1) // mp
+    npad = nchunks * mp - npoints
+
+    tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
+    opt_state = tx.init(params)
+    key = jax.random.key(cfg.seed)
+
+    def chunk_loss(p, idx):
+        # OOB sentinel indices (== npoints) mask out padded entries
+        valid = (idx < npoints)
+        safe = jnp.minimum(idx, npoints - 1)
+        bc = coords[safe]
+        bt = target[safe]
+        pred = model.apply(p, bc)
+        w = valid.astype(pred.dtype)[:, None]
+        mse = jnp.sum(w * (pred - bt) ** 2) / (jnp.sum(w) * pred.shape[-1])
+        loss = mse
+        if tv_weight > 0.0 and image_shape is not None:
+            H, W, Cc = image_shape
+            full = model.apply(p, coords).reshape(1, H, W, Cc)
+            loss = loss + tv_weight * _tv(jnp.transpose(full, (0, 3, 1, 2)))
+        return loss, pred
+
+    def epoch_body(carry, _):
+        params, opt_state, rec, key, best_mse, best_rec, best_params = carry
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, npoints)
+        perm = jnp.concatenate(
+            [perm, jnp.full((npad,), npoints, perm.dtype)]) if npad else perm
+        perm = perm.reshape(nchunks, mp)
+
+        def chunk_body(inner, idx):
+            params, opt_state, rec = inner
+            (loss, pred), grads = jax.value_and_grad(
+                chunk_loss, has_aux=True)(params, idx)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rec = rec.at[idx].set(pred, mode="drop")
+            return (params, opt_state, rec), loss
+
+        (params, opt_state, rec), _ = jax.lax.scan(
+            chunk_body, (params, opt_state, rec), perm)
+
+        mse_noisy = jnp.mean((target - rec) ** 2)
+        mse_gt = jnp.mean((gt_arr - rec) ** 2)
+        tracked = mse_gt if track == "gt" else mse_noisy
+        is_best = tracked < best_mse
+        best_mse = jnp.where(is_best, tracked, best_mse)
+        best_rec = jnp.where(is_best, rec, best_rec)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        extra = epoch_metric(rec) if epoch_metric is not None else 0.0
+        return ((params, opt_state, rec, key, best_mse, best_rec,
+                 best_params), (mse_gt, mse_noisy, extra))
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(carry):
+        return jax.lax.scan(epoch_body, carry, None, length=cfg.niters)
+
+    # distinct buffers everywhere: donated args must not alias
+    rec0 = jnp.zeros_like(target)
+    carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
+              jnp.zeros_like(target), jax.tree.map(jnp.copy, params))
+    t0 = time.time()
+    carry, (mse_gt, mse_noisy, extra) = run(carry0)
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    params, _, rec, _, best_mse, best_rec, best_params = carry
+    res = FitResult(
+        params=params, best_params=best_params,
+        best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
+        mse_gt=np.asarray(mse_gt), mse_noisy=np.asarray(mse_noisy),
+        best_mse=float(best_mse), wall_time_s=wall)
+    if epoch_metric is not None:
+        res.time_array = np.asarray(extra)
+    return res
+
+
+def _tv(image_nchw):
+    dx = image_nchw[:, :, 1:, :] - image_nchw[:, :, :-1, :]
+    dy = image_nchw[:, :, :, 1:] - image_nchw[:, :, :, :-1]
+    return jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
+
+
+def fit_operator(model, params, coords, measurement, operator_fn,
+                 cfg: FitConfig, *, gt_field=None, field_shape,
+                 track="gt", donate=True):
+    """Fit through a differentiable forward operator: every iteration renders
+    the FULL coordinate grid, applies ``operator_fn`` and takes the MSE
+    against ``measurement`` (the CT/SISR loop shape, bspline_ct.py:146-157,
+    wire_SISR.py:183-197).
+
+    coords: (N, d); operator_fn(field) with field = render reshaped to
+    ``field_shape``; gt_field: clean field (same shape) for tracking.
+    """
+    coords = jnp.asarray(coords)
+    measurement = jnp.asarray(measurement)
+    gt_arr = None if gt_field is None else jnp.asarray(gt_field)
+    cfg = dataclasses.replace(cfg, schedule_per="iter")
+    tx = make_optimizer(cfg, params, nchunks=1)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        field = model.apply(p, coords).reshape(field_shape)
+        est = operator_fn(field)
+        return jnp.mean((est - measurement) ** 2), field
+
+    def step(carry, _):
+        params, opt_state, best_loss, best_field, best_params = carry
+        (loss, field), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if gt_arr is not None and track == "gt":
+            tracked = jnp.mean((field - gt_arr) ** 2)
+        else:
+            tracked = loss
+        is_best = tracked < best_loss
+        best_loss = jnp.where(is_best, tracked, best_loss)
+        best_field = jnp.where(is_best, field, best_field)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        return (params, opt_state, best_loss, best_field, best_params), (
+            loss, tracked)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(carry):
+        return jax.lax.scan(step, carry, None, length=cfg.niters)
+
+    field0 = jnp.zeros(field_shape, measurement.dtype)
+    carry0 = (params, opt_state, jnp.asarray(jnp.inf), field0,
+              jax.tree.map(jnp.copy, params))
+    t0 = time.time()
+    carry, (loss_hist, tracked_hist) = run(carry0)
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    params, _, best_loss, best_field, best_params = carry
+    return FitResult(
+        params=params, best_params=best_params,
+        best_rec=np.asarray(best_field), final_rec=None,
+        mse_gt=np.asarray(tracked_hist), mse_noisy=np.asarray(loss_hist),
+        best_mse=float(best_loss), wall_time_s=wall)
