@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-device CPU mesh: full-batch sharded
+training must equal single-device training exactly (pmean-of-means ==
+global mean); stochastic sharded fitting must converge."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+from wire_tpu.signals import coords as C
+from wire_tpu.signals import image as I
+from wire_tpu.dist import fit_pointwise_sharded, make_mesh
+from wire_tpu.train.trainer import FitConfig, fit_pointwise
+
+
+def _setup(H=32, W=32, hidden=32):
+    im = I.synthetic_image(H, W, 3, seed=0)
+    coords = C.grid2d(H, W)
+    target = im.reshape(-1, 3)
+    model = get_inr("wire", in_features=2, hidden_features=hidden,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    return model, params, coords, target
+
+
+def test_sharded_full_batch_equals_single_device():
+    model, params, coords, target = _setup()
+    cfg = FitConfig(learning_rate=5e-3, niters=10,
+                    maxpoints=coords.shape[0])
+    res1 = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                         target, cfg, track="noisy", donate=False)
+    mesh = make_mesh(8)
+    res8 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target, cfg, mesh, track="noisy",
+                                 donate=False)
+    np.testing.assert_allclose(res8.mse_noisy, res1.mse_noisy, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(res1.params),
+                    jax.tree.leaves(res8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # reconstructions assembled across shards must match too
+    np.testing.assert_allclose(res8.final_rec, res1.final_rec, atol=2e-4)
+
+
+def test_sharded_minibatch_converges():
+    model, params, coords, target = _setup(H=64, W=64, hidden=48)
+    cfg = FitConfig(learning_rate=5e-3, niters=100, maxpoints=512)
+    mesh = make_mesh(8)
+    res = fit_pointwise_sharded(model, params, coords, target, cfg, mesh,
+                                track="noisy")
+    assert res.mse_noisy[-1] < res.mse_noisy[0] / 10
+    assert np.count_nonzero(res.final_rec) == res.final_rec.size
+
+
+def test_sharded_on_subset_mesh():
+    model, params, coords, target = _setup(H=16, W=16)
+    cfg = FitConfig(learning_rate=5e-3, niters=5, maxpoints=64)
+    mesh = make_mesh(4)
+    res = fit_pointwise_sharded(model, params, coords, target, cfg, mesh,
+                                track="noisy")
+    assert np.isfinite(res.mse_noisy).all()

@@ -1,0 +1,136 @@
+"""Mesh-sharded pointwise INR fitting.
+
+Coordinates/targets are sharded along axis 0 over the mesh's 'data' axis;
+parameters and optimizer state are replicated.  Each device draws its own
+permutation of its local shard (deterministic fold of the global seed by
+device index — no host-0 broadcast of a global index array, SURVEY.md §7
+hard part 4), computes local-mean gradients, and the gradients are
+``pmean``-ed over ICI before a replicated Adam update — the wire_tpu "DP".
+
+Semantics note: minibatch *composition* differs from the single-device
+trainer (local per-device permutations instead of one global permutation);
+with equal shard sizes the gradient of the global batch mean equals the
+pmean of local means, so full-batch steps are exactly equivalent (tested in
+tests/test_dist.py), and stochastic steps are statistically equivalent.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wire_tpu.train.trainer import FitConfig, FitResult, make_optimizer
+
+
+def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
+                          mesh: Mesh, *, gt=None, track="gt", donate=True):
+    """Sharded counterpart of train.trainer.fit_pointwise.
+
+    Requires npoints divisible by the mesh size (pad upstream if needed) —
+    shards must be equal for pmean-of-means to equal the global mean.
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    npoints = coords.shape[0]
+    if npoints % ndev:
+        raise ValueError(f"npoints={npoints} not divisible by mesh size "
+                         f"{ndev}; pad the coordinate set")
+    local_n = npoints // ndev
+    mp_local = min(max(cfg.maxpoints // ndev, 1), local_n)
+    nchunks = (local_n + mp_local - 1) // mp_local
+    npad = nchunks * mp_local - local_n
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    coords = jax.device_put(jnp.asarray(coords), shard)
+    target = jax.device_put(jnp.asarray(target), shard)
+    gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), shard)
+    params = jax.device_put(params, repl)
+
+    tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
+    opt_state = jax.device_put(tx.init(params), repl)
+    key = jax.random.key(cfg.seed)
+
+    def epoch_body_local(carry, _, *, lc, lt, lgt):
+        """Runs per device under shard_map: lc/lt (local_n, ...)."""
+        params, opt_state, rec, key, best_mse, best_rec, best_params = carry
+        key, sub = jax.random.split(key)
+        dev = jax.lax.axis_index(axis)
+        sub = jax.random.fold_in(sub, dev)
+        perm = jax.random.permutation(sub, local_n)
+        if npad:
+            perm = jnp.concatenate(
+                [perm, jnp.full((npad,), local_n, perm.dtype)])
+        perm = perm.reshape(nchunks, mp_local)
+
+        def chunk_loss(p, idx):
+            valid = idx < local_n
+            safe = jnp.minimum(idx, local_n - 1)
+            pred = model.apply(p, lc[safe])
+            w = valid.astype(pred.dtype)[:, None]
+            # local masked mean; with equal shards and no remainder this is
+            # the per-device contribution to the global batch mean
+            return (jnp.sum(w * (pred - lt[safe]) ** 2)
+                    / (jnp.sum(w) * pred.shape[-1])), pred
+
+        def chunk_body(inner, idx):
+            params, opt_state, rec = inner
+            (loss, pred), grads = jax.value_and_grad(
+                chunk_loss, has_aux=True)(params, idx)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            rec = rec.at[idx].set(pred, mode="drop")
+            return (params, opt_state, rec), loss
+
+        (params, opt_state, rec), _ = jax.lax.scan(
+            chunk_body, (params, opt_state, rec), perm)
+
+        mse_noisy = jax.lax.pmean(jnp.mean((lt - rec) ** 2), axis)
+        mse_gt = jax.lax.pmean(jnp.mean((lgt - rec) ** 2), axis)
+        tracked = mse_gt if track == "gt" else mse_noisy
+        is_best = tracked < best_mse
+        best_mse = jnp.where(is_best, tracked, best_mse)
+        best_rec = jnp.where(is_best, rec, best_rec)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        return ((params, opt_state, rec, key, best_mse, best_rec,
+                 best_params), (mse_gt, mse_noisy))
+
+    pspec_carry = (P(), P(), P(axis), P(), P(), P(axis), P())
+
+    def run_sharded(carry, lc, lt, lgt):
+        body = partial(epoch_body_local, lc=lc, lt=lt, lgt=lgt)
+        return jax.lax.scan(body, carry, None, length=cfg.niters)
+
+    shard_run = jax.shard_map(
+        run_sharded, mesh=mesh,
+        in_specs=(pspec_carry, P(axis), P(axis), P(axis)),
+        out_specs=(pspec_carry, (P(), P())),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(carry, lc, lt, lgt):
+        return shard_run(carry, lc, lt, lgt)
+
+    rec0 = jax.device_put(jnp.zeros_like(target), shard)
+    best_rec0 = jax.device_put(jnp.zeros_like(target), shard)
+    carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
+              best_rec0, jax.tree.map(jnp.copy, params))
+    t0 = time.time()
+    carry, (mse_gt, mse_noisy) = run(carry0, coords, target, gt_arr)
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    params, _, rec, _, best_mse, best_rec, best_params = carry
+    return FitResult(
+        params=params, best_params=best_params,
+        best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
+        mse_gt=np.asarray(mse_gt), mse_noisy=np.asarray(mse_noisy),
+        best_mse=float(np.asarray(best_mse).ravel()[0]), wall_time_s=wall)
