@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: training throughput (coords/s) of the flagship WIRE
+complex-Gabor INR at the reference's denoise size (300 hidden, 2 hidden
+layers, 65536-coordinate batches — wire_image_denoise.py's configuration,
+BASELINE.md north star).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "coords/s", "vs_baseline": N}
+
+vs_baseline compares against the reference implementation (PyTorch, identical
+model/loop) measured on this host's CPU: 6.31e3 coords/s (2-vCPU torch-cpu,
+measured 2026-08-17; the reference's own GPU numbers don't exist — SURVEY.md
+§6 "throughput baselines must be measured fresh").  Set BENCH_BASELINE to
+override.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TORCH_CPU_BASELINE_COORDS_PER_S = float(
+    os.environ.get("BENCH_BASELINE", 6.31e3))
+
+
+def main():
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wire_tpu.nn import get_inr
+    from wire_tpu.signals import coords as C, image as I, noise as N
+    from wire_tpu.train import metrics as M
+    from wire_tpu.train.trainer import FitConfig, fit_pointwise
+
+    H = W = 256
+    niters = int(os.environ.get("BENCH_EPOCHS", 200))
+    im = I.synthetic_image(H, W, 3, seed=0)
+    rng = np.random.RandomState(0)
+    im_noisy = N.measure_np(im, noise_snr=2, tau=30.0, rng=rng).astype(
+        np.float32)
+    coords = C.grid2d(H, W)
+    target = im_noisy.reshape(-1, 3)
+    gt = im.reshape(-1, 3)
+
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=300, hidden_layers=2,
+                    first_omega0=7.0, hidden_omega0=7.0, scale=8.0)
+    cfg = FitConfig(learning_rate=5e-3, niters=niters, maxpoints=H * W,
+                    scale_lr_by_batch=True)
+
+    # warmup: compiles + loads the program; the second call reuses it
+    params = model.init(jax.random.key(0))
+    fit_pointwise(model, params, coords, target, cfg, gt=gt, donate=False)
+    params = model.init(jax.random.key(0))
+    res = fit_pointwise(model, params, coords, target, cfg, gt=gt,
+                        donate=False)
+
+    npoints = H * W
+    coords_per_s = niters * npoints / res.wall_time_s
+    psnr = float(M.psnr_ref(im, res.best_rec.reshape(H, W, 3)))
+    print(f"backend={jax.default_backend()} wall={res.wall_time_s:.2f}s "
+          f"epochs={niters} psnr_vs_clean={psnr:.2f}dB", file=sys.stderr)
+    print(json.dumps({
+        "metric": "wire300_denoise_train_coords_per_s",
+        "value": round(coords_per_s, 1),
+        "unit": "coords/s",
+        "vs_baseline": round(coords_per_s / TORCH_CPU_BASELINE_COORDS_PER_S,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wire_tpu.train.trainer import FitConfig, FitResult, make_optimizer
+from wire_tpu.train.trainer import (FitConfig, FitResult, make_optimizer,
+                                    _PROGRAMS)
 
 
 def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
@@ -54,6 +55,9 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), shard)
     params = jax.device_put(params, repl)
 
+    cache_key = (model, cfg, mesh, npoints, coords.shape[-1],
+                 target.shape[-1], track, donate)
+    cached = _PROGRAMS.get(cache_key)
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
     opt_state = jax.device_put(tx.init(params), repl)
     key = jax.random.key(cfg.seed)
@@ -106,19 +110,20 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
     pspec_carry = (P(), P(), P(axis), P(), P(), P(axis), P())
 
-    def run_sharded(carry, lc, lt, lgt):
-        body = partial(epoch_body_local, lc=lc, lt=lt, lgt=lgt)
-        return jax.lax.scan(body, carry, None, length=cfg.niters)
+    if cached is None:
+        def run_sharded(carry, lc, lt, lgt):
+            body = partial(epoch_body_local, lc=lc, lt=lt, lgt=lgt)
+            return jax.lax.scan(body, carry, None, length=cfg.niters)
 
-    shard_run = jax.shard_map(
-        run_sharded, mesh=mesh,
-        in_specs=(pspec_carry, P(axis), P(axis), P(axis)),
-        out_specs=(pspec_carry, (P(), P())),
-        check_vma=False)
-
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(carry, lc, lt, lgt):
-        return shard_run(carry, lc, lt, lgt)
+        shard_run = jax.shard_map(
+            run_sharded, mesh=mesh,
+            in_specs=(pspec_carry, P(axis), P(axis), P(axis)),
+            out_specs=(pspec_carry, (P(), P())),
+            check_vma=False)
+        run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[cache_key] = run
+    else:
+        run = cached
 
     rec0 = jax.device_put(jnp.zeros_like(target), shard)
     best_rec0 = jax.device_put(jnp.zeros_like(target), shard)

@@ -67,12 +67,23 @@ class INRSpec:
 
 class INR:
     """A model family instance: ``params = m.init(key)``,
-    ``y = m.apply(params, coords)``."""
+    ``y = m.apply(params, coords)``.
+
+    Hashable on (spec, fn identities) so jitted training programs can be
+    cached across fits of the same architecture."""
 
     def __init__(self, spec: INRSpec, init_fn, apply_fn):
         self.spec = spec
         self._init = init_fn
         self._apply = apply_fn
+
+    def __hash__(self):
+        return hash((self.spec, self._init, self._apply))
+
+    def __eq__(self, other):
+        return (isinstance(other, INR) and self.spec == other.spec
+                and self._init is other._init
+                and self._apply is other._apply)
 
     def init(self, key):
         return self._init(key, self.spec)

@@ -134,68 +134,18 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     nchunks = (npoints + mp - 1) // mp
     npad = nchunks * mp - npoints
 
-    tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
+    tx, run = _pointwise_program(
+        model, cfg, npoints, nchunks, mp, npad, track, tv_weight,
+        image_shape, epoch_metric, donate)
     opt_state = tx.init(params)
     key = jax.random.key(cfg.seed)
-
-    def chunk_loss(p, idx):
-        # OOB sentinel indices (== npoints) mask out padded entries
-        valid = (idx < npoints)
-        safe = jnp.minimum(idx, npoints - 1)
-        bc = coords[safe]
-        bt = target[safe]
-        pred = model.apply(p, bc)
-        w = valid.astype(pred.dtype)[:, None]
-        mse = jnp.sum(w * (pred - bt) ** 2) / (jnp.sum(w) * pred.shape[-1])
-        loss = mse
-        if tv_weight > 0.0 and image_shape is not None:
-            H, W, Cc = image_shape
-            full = model.apply(p, coords).reshape(1, H, W, Cc)
-            loss = loss + tv_weight * _tv(jnp.transpose(full, (0, 3, 1, 2)))
-        return loss, pred
-
-    def epoch_body(carry, _):
-        params, opt_state, rec, key, best_mse, best_rec, best_params = carry
-        key, sub = jax.random.split(key)
-        perm = jax.random.permutation(sub, npoints)
-        perm = jnp.concatenate(
-            [perm, jnp.full((npad,), npoints, perm.dtype)]) if npad else perm
-        perm = perm.reshape(nchunks, mp)
-
-        def chunk_body(inner, idx):
-            params, opt_state, rec = inner
-            (loss, pred), grads = jax.value_and_grad(
-                chunk_loss, has_aux=True)(params, idx)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            rec = rec.at[idx].set(pred, mode="drop")
-            return (params, opt_state, rec), loss
-
-        (params, opt_state, rec), _ = jax.lax.scan(
-            chunk_body, (params, opt_state, rec), perm)
-
-        mse_noisy = jnp.mean((target - rec) ** 2)
-        mse_gt = jnp.mean((gt_arr - rec) ** 2)
-        tracked = mse_gt if track == "gt" else mse_noisy
-        is_best = tracked < best_mse
-        best_mse = jnp.where(is_best, tracked, best_mse)
-        best_rec = jnp.where(is_best, rec, best_rec)
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(is_best, p, b), best_params, params)
-        extra = epoch_metric(rec) if epoch_metric is not None else 0.0
-        return ((params, opt_state, rec, key, best_mse, best_rec,
-                 best_params), (mse_gt, mse_noisy, extra))
-
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(carry):
-        return jax.lax.scan(epoch_body, carry, None, length=cfg.niters)
 
     # distinct buffers everywhere: donated args must not alias
     rec0 = jnp.zeros_like(target)
     carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
               jnp.zeros_like(target), jax.tree.map(jnp.copy, params))
     t0 = time.time()
-    carry, (mse_gt, mse_noisy, extra) = run(carry0)
+    carry, (mse_gt, mse_noisy, extra) = run(carry0, coords, target, gt_arr)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     params, _, rec, _, best_mse, best_rec, best_params = carry
@@ -215,6 +165,82 @@ def _tv(image_nchw):
     return jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
 
 
+# Program cache: building a fresh jax.jit wrapper per fit would re-load the
+# executable on every call (expensive on remote/tunneled TPU backends even
+# with the XLA compile cache warm).  Programs are keyed on everything that
+# shapes the computation; coords/target are jit ARGUMENTS, not closure
+# constants, so the same program serves any signal of the same size.
+_PROGRAMS: dict = {}
+
+
+def _pointwise_program(model, cfg: FitConfig, npoints, nchunks, mp, npad,
+                       track, tv_weight, image_shape, epoch_metric, donate):
+    cache_key = (model, cfg, npoints, nchunks, mp, npad, track, tv_weight,
+                 image_shape, epoch_metric, donate)
+    hit = _PROGRAMS.get(cache_key)
+    if hit is not None:
+        return hit
+
+    tx = make_optimizer(cfg, None, npoints=npoints, nchunks=nchunks)
+
+    def run_impl(carry, coords, target, gt_arr):
+        def chunk_loss(p, idx):
+            # OOB sentinel indices (== npoints) mask out padded entries
+            valid = (idx < npoints)
+            safe = jnp.minimum(idx, npoints - 1)
+            pred = model.apply(p, coords[safe])
+            w = valid.astype(pred.dtype)[:, None]
+            mse = (jnp.sum(w * (pred - target[safe]) ** 2)
+                   / (jnp.sum(w) * pred.shape[-1]))
+            loss = mse
+            if tv_weight > 0.0 and image_shape is not None:
+                H, W, Cc = image_shape
+                full = model.apply(p, coords).reshape(1, H, W, Cc)
+                loss = loss + tv_weight * _tv(
+                    jnp.transpose(full, (0, 3, 1, 2)))
+            return loss, pred
+
+        def epoch_body(carry, _):
+            (params, opt_state, rec, key, best_mse, best_rec,
+             best_params) = carry
+            key, sub = jax.random.split(key)
+            perm = jax.random.permutation(sub, npoints)
+            if npad:
+                perm = jnp.concatenate(
+                    [perm, jnp.full((npad,), npoints, perm.dtype)])
+            perm = perm.reshape(nchunks, mp)
+
+            def chunk_body(inner, idx):
+                params, opt_state, rec = inner
+                (loss, pred), grads = jax.value_and_grad(
+                    chunk_loss, has_aux=True)(params, idx)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                rec = rec.at[idx].set(pred, mode="drop")
+                return (params, opt_state, rec), loss
+
+            (params, opt_state, rec), _ = jax.lax.scan(
+                chunk_body, (params, opt_state, rec), perm)
+
+            mse_noisy = jnp.mean((target - rec) ** 2)
+            mse_gt = jnp.mean((gt_arr - rec) ** 2)
+            tracked = mse_gt if track == "gt" else mse_noisy
+            is_best = tracked < best_mse
+            best_mse = jnp.where(is_best, tracked, best_mse)
+            best_rec = jnp.where(is_best, rec, best_rec)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(is_best, p, b), best_params, params)
+            extra = epoch_metric(rec) if epoch_metric is not None else 0.0
+            return ((params, opt_state, rec, key, best_mse, best_rec,
+                     best_params), (mse_gt, mse_noisy, extra))
+
+        return jax.lax.scan(epoch_body, carry, None, length=cfg.niters)
+
+    run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
+    _PROGRAMS[cache_key] = (tx, run)
+    return tx, run
+
+
 def fit_operator(model, params, coords, measurement, operator_fn,
                  cfg: FitConfig, *, gt_field=None, field_shape,
                  track="gt", donate=True):
@@ -228,43 +254,55 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     """
     coords = jnp.asarray(coords)
     measurement = jnp.asarray(measurement)
-    gt_arr = None if gt_field is None else jnp.asarray(gt_field)
+    has_gt = gt_field is not None
+    gt_arr = measurement if gt_field is None else jnp.asarray(gt_field)
     cfg = dataclasses.replace(cfg, schedule_per="iter")
-    tx = make_optimizer(cfg, params, nchunks=1)
+
+    cache_key = (model, cfg, coords.shape, tuple(field_shape), operator_fn,
+                 track, has_gt, donate, "operator")
+    hit = _PROGRAMS.get(cache_key)
+    if hit is None:
+        tx = make_optimizer(cfg, None, nchunks=1)
+
+        def run_impl(carry, coords, measurement, gt_arr):
+            def loss_fn(p):
+                field = model.apply(p, coords).reshape(field_shape)
+                est = operator_fn(field)
+                return jnp.mean((est - measurement) ** 2), field
+
+            def step(carry, _):
+                params, opt_state, best_loss, best_field, best_params = carry
+                (loss, field), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if has_gt and track == "gt":
+                    tracked = jnp.mean((field - gt_arr) ** 2)
+                else:
+                    tracked = loss
+                is_best = tracked < best_loss
+                best_loss = jnp.where(is_best, tracked, best_loss)
+                best_field = jnp.where(is_best, field, best_field)
+                best_params = jax.tree.map(
+                    lambda b, p: jnp.where(is_best, p, b), best_params,
+                    params)
+                return (params, opt_state, best_loss, best_field,
+                        best_params), (loss, tracked)
+
+            return jax.lax.scan(step, carry, None, length=cfg.niters)
+
+        run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[cache_key] = (tx, run)
+    else:
+        tx, run = hit
+
     opt_state = tx.init(params)
-
-    def loss_fn(p):
-        field = model.apply(p, coords).reshape(field_shape)
-        est = operator_fn(field)
-        return jnp.mean((est - measurement) ** 2), field
-
-    def step(carry, _):
-        params, opt_state, best_loss, best_field, best_params = carry
-        (loss, field), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if gt_arr is not None and track == "gt":
-            tracked = jnp.mean((field - gt_arr) ** 2)
-        else:
-            tracked = loss
-        is_best = tracked < best_loss
-        best_loss = jnp.where(is_best, tracked, best_loss)
-        best_field = jnp.where(is_best, field, best_field)
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(is_best, p, b), best_params, params)
-        return (params, opt_state, best_loss, best_field, best_params), (
-            loss, tracked)
-
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(carry):
-        return jax.lax.scan(step, carry, None, length=cfg.niters)
-
     field0 = jnp.zeros(field_shape, measurement.dtype)
     carry0 = (params, opt_state, jnp.asarray(jnp.inf), field0,
               jax.tree.map(jnp.copy, params))
     t0 = time.time()
-    carry, (loss_hist, tracked_hist) = run(carry0)
+    carry, (loss_hist, tracked_hist) = run(carry0, coords, measurement,
+                                           gt_arr)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     params, _, best_loss, best_field, best_params = carry
