@@ -1,0 +1,121 @@
+"""3D occupancy fitting driver — the rebuild of wire_occupancy.py: fit an
+INR to a binary occupancy volume, report IoU per epoch, export a marching-
+cubes mesh of the best reconstruction.
+
+Loop semantics (wire_occupancy.py:107-201): 3 hidden layers, 300 wide,
+batches of 2e5 random voxels per epoch over the full permutation, 0.2-decay
+schedule, per-epoch thresholded IoU, best tracked by train loss, final .dae
+export (smoothened marching cubes).
+
+This is the scale driver (SURVEY.md §3.4): at 512^3 the coordinate set is
+~134M points — pass ``mesh`` to shard it over devices.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+
+from wire_tpu.nn import get_inr
+from wire_tpu.signals import coords as C, image as I, volume as V
+from wire_tpu.train import artifacts as A, metrics as M
+from wire_tpu.train.trainer import FitConfig, fit_pointwise
+
+
+_LR = {"wire": 5e-3, "siren": 2e-3, "mfn": 5e-2, "relu": 1e-3,
+       "posenc": 1e-3, "gauss": 2e-3}
+
+
+def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
+        niters=200, size=64, scale=1.0, maxpoints=int(2e5),
+        hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None):
+    A.log(f"Running {nonlin} occupancy")
+    if volume_mat:
+        im = V.load_volume_mat(volume_mat, scale=scale)
+    else:
+        im = I.synthetic_volume(size, seed=seed)
+    H, W, T = im.shape
+    A.log(f"volume shape {im.shape}")
+    npoints = H * W * T
+    maxpoints = min(npoints, maxpoints)
+
+    # per-nonlin hyperparameters (wire_occupancy.py:85-97)
+    omega0, sigma0 = 10.0, 40.0
+    if nonlin == "wire":
+        omega0, sigma0 = 20.0, 10.0
+    elif nonlin == "siren":
+        omega0 = 40.0
+    elif nonlin == "gauss":
+        sigma0 = 30.0
+    pos_encode = False
+    model_nonlin = nonlin
+    if nonlin == "posenc":
+        model_nonlin, pos_encode = "relu", True
+
+    coords = C.get_coords(H, W, T)
+    target = im.reshape(-1, 1)
+    model = get_inr(model_nonlin, in_features=3, out_features=1,
+                    hidden_features=hidden_features,
+                    hidden_layers=hidden_layers, first_omega0=omega0,
+                    hidden_omega0=omega0, scale=sigma0,
+                    pos_encode=pos_encode, sidelength=max(H, W, T))
+    params = model.init(jax.random.key(seed))
+    nparams = model.num_params(params)
+
+    fit_cfg = FitConfig(learning_rate=_LR.get(nonlin, 5e-3), niters=niters,
+                        maxpoints=maxpoints, lr_decay=0.2, seed=seed)
+    timu = jax.numpy.asarray(target)
+
+    def epoch_iou(rec):
+        return M.iou(rec, timu, mcubes_thres)
+
+    if mesh is not None:
+        from wire_tpu.dist import fit_pointwise_sharded
+        res = fit_pointwise_sharded(model, params, coords, target, fit_cfg,
+                                    mesh, track="noisy")
+        iou_hist = None
+    else:
+        res = fit_pointwise(model, params, coords, target, fit_cfg,
+                            track="noisy", epoch_metric=epoch_iou)
+        iou_hist = res.time_array
+
+    best = res.best_rec.reshape(H, W, T)
+    best_iou = float(M.iou(best, im, mcubes_thres))
+    psnr = float(M.psnr_ref(im, best))
+    A.log(f"IoU: {best_iou}")
+    A.log(f"Best PSNR: {psnr} dB")
+    A.log(f"Total parameters: {nparams / 1e6} million")
+
+    outdir = os.path.join(results_dir, "occupancy")
+    os.makedirs(outdir, exist_ok=True)
+    A.save_mat(os.path.join(outdir, f"{nonlin}.mat"), {
+        "mse_array": res.mse_noisy,
+        "iou_array": (iou_hist if iou_hist is not None
+                      else np.zeros_like(res.mse_noisy)),
+        "nparams": nparams,
+        "Best PSNR": psnr,
+        "Best IoU": best_iou,
+        "Total time": res.wall_time_s / 60,
+    })
+    mesh_path = os.path.join(outdir, f"{nonlin}.dae")
+    V.march_and_save(best, mcubes_thres, mesh_path, smoothen=True)
+    return {"iou": best_iou, "psnr": psnr, "mesh": mesh_path, "result": res}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nonlin", default="wire")
+    p.add_argument("--volume_mat", default=None)
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--niters", type=int, default=200)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    run(a.nonlin, volume_mat=a.volume_mat, results_dir=a.results_dir,
+        niters=a.niters, size=a.size, seed=a.seed)
+
+
+if __name__ == "__main__":
+    main()

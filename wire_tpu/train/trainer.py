@@ -165,6 +165,97 @@ def _tv(image_nchw):
     return jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
 
 
+def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
+               cfg: FitConfig, *, hr_shape, scale, batch_size=4,
+               gt_image=None, donate=True):
+    """Multi-frame SR fitting (wire_multi_sr.py:183-208): per step, render the
+    INR at a batch of frames' warped HR coordinate grids, box-downsample, and
+    take the masked MSE against the LR frames.  Frame order reshuffles per
+    epoch; best state tracked by train loss (matching the reference's
+    best_state_dict checkpointing, wire_multi_sr.py:201-204).
+
+    frame_coords: (n, H*W, 2); frame_pixels/masks: (n, Hl*Wl, C);
+    hr_shape: (H, W, C).
+    """
+    from wire_tpu.ops.resample import avg_pool2d
+
+    frame_coords = jnp.asarray(frame_coords)
+    frame_pixels = jnp.asarray(frame_pixels)
+    frame_masks = jnp.asarray(frame_masks)
+    nframes = frame_coords.shape[0]
+    H, W, C = hr_shape
+    bs = min(batch_size, nframes)
+    nbatches = (nframes + bs - 1) // bs
+    npad = nbatches * bs - nframes
+
+    cache_key = (model, cfg, frame_coords.shape, frame_pixels.shape,
+                 tuple(hr_shape), scale, bs, donate, "frames")
+    hit = _PROGRAMS.get(cache_key)
+    if hit is None:
+        tx = make_optimizer(cfg, None, nchunks=nbatches)
+
+        def run_impl(carry, frame_coords, frame_pixels, frame_masks):
+            def batch_loss(p, fidx):
+                valid = (fidx < nframes).astype(frame_pixels.dtype)
+                safe = jnp.minimum(fidx, nframes - 1)
+                rend = model.apply(p, frame_coords[safe])       # (b,H*W,C)
+                nchw = jnp.transpose(rend.reshape(bs, H, W, C), (0, 3, 1, 2))
+                lr = jnp.transpose(avg_pool2d(nchw, scale), (0, 2, 3, 1))
+                lr = lr.reshape(bs, -1, C)
+                m = frame_masks[safe] * valid[:, None, None]
+                err = (lr - frame_pixels[safe]) * m
+                # reference uses MSELoss over masked products (mean over all
+                # elements, wire_multi_sr.py:197)
+                return jnp.sum(err ** 2) / (err.size / max(1, bs) * jnp.maximum(valid.sum(), 1))
+
+            def step(carry, fidx):
+                params, opt_state, best_loss, best_params = carry
+                loss, grads = jax.value_and_grad(batch_loss)(params, fidx)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                is_best = loss < best_loss
+                best_loss = jnp.where(is_best, loss, best_loss)
+                best_params = jax.tree.map(
+                    lambda b, p: jnp.where(is_best, p, b), best_params,
+                    params)
+                return (params, opt_state, best_loss, best_params), loss
+
+            def epoch(carry, _):
+                inner, key = carry
+                key, sub = jax.random.split(key)
+                order = jax.random.permutation(sub, nframes)
+                if npad:
+                    order = jnp.concatenate(
+                        [order, jnp.full((npad,), nframes, order.dtype)])
+                order = order.reshape(nbatches, bs)
+                inner, losses = jax.lax.scan(step, inner, order)
+                return (inner, key), jnp.sum(losses)
+
+            (inner, _), mse_hist = jax.lax.scan(
+                epoch, (carry, jax.random.key(cfg.seed)), None,
+                length=cfg.niters)
+            return inner, mse_hist
+
+        run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[cache_key] = (tx, run)
+    else:
+        tx, run = hit
+
+    opt_state = tx.init(params)
+    carry0 = (params, opt_state, jnp.asarray(jnp.inf),
+              jax.tree.map(jnp.copy, params))
+    t0 = time.time()
+    (params_f, _, best_loss, best_params), mse_hist = run(
+        carry0, frame_coords, frame_pixels, frame_masks)
+    jax.block_until_ready(best_loss)
+    wall = time.time() - t0
+    return FitResult(
+        params=params_f, best_params=best_params, best_rec=None,
+        final_rec=None, mse_gt=np.asarray(mse_hist),
+        mse_noisy=np.asarray(mse_hist), best_mse=float(best_loss),
+        wall_time_s=wall)
+
+
 # Program cache: building a fresh jax.jit wrapper per fit would re-load the
 # executable on every call (expensive on remote/tunneled TPU backends even
 # with the XLA compile cache warm).  Programs are keyed on everything that
