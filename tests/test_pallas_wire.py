@@ -1,0 +1,69 @@
+"""Fused Pallas WIRE kernel vs the jnp reference path (interpret mode on
+CPU): forward, parameter gradients, coordinate gradients."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+from wire_tpu.ops.pallas.wire_mlp import wire_mlp_fused
+
+
+@pytest.mark.parametrize("n,h,layers,out", [(600, 45, 2, 3), (512, 64, 1, 1),
+                                            (100, 212, 2, 3)])
+def test_fused_forward_matches_jnp(n, h, layers, out):
+    model = get_inr("wire", in_features=2, out_features=out,
+                    hidden_features=int(h * np.sqrt(2)) + 1,
+                    hidden_layers=layers, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=4.0)
+    assert model.spec is not None
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    ref = model.apply(params, coords)
+    fused = wire_mlp_fused(params, coords, model.spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=5e-6)
+
+
+def test_fused_grads_match_jnp():
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=64, hidden_layers=2, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=4.0)
+    params = model.init(jax.random.key(1))
+    rng = np.random.default_rng(1)
+    coords = jnp.asarray(rng.uniform(-1, 1, (700, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (700, 3)).astype(np.float32))
+
+    def loss_ref(p, c):
+        return jnp.mean((model.apply(p, c) - target) ** 2)
+
+    def loss_fused(p, c):
+        return jnp.mean((wire_mlp_fused(p, c, model.spec, interpret=True)
+                         - target) ** 2)
+
+    (gr_p, gr_c) = jax.grad(loss_ref, argnums=(0, 1))(params, coords)
+    (gf_p, gf_c) = jax.grad(loss_fused, argnums=(0, 1))(params, coords)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gr_p)[0][0:99],
+                   key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(gf_p)[0][0:99],
+                   key=str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6, err_msg=str(ka))
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gr_c),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_handles_unaligned_batch():
+    model = get_inr("wire", in_features=3, out_features=1,
+                    hidden_features=40, hidden_layers=2, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=3.0)
+    params = model.init(jax.random.key(2))
+    rng = np.random.default_rng(2)
+    coords = jnp.asarray(rng.uniform(-1, 1, (777, 3)).astype(np.float32))
+    ref = model.apply(params, coords)
+    fused = wire_mlp_fused(params, coords, model.spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=5e-6)

@@ -60,6 +60,10 @@ class INRSpec:
     # bspline_mscale_2.py:173; the combiner is built as 'both').
     combine_type: str = "freq_combine"
     dtype: Any = jnp.float32
+    # fused Pallas kernel dispatch for families that have one ('auto' uses it
+    # on TPU backends, 'never' forces the jnp path, 'always' forces the
+    # kernel — with interpret mode off-TPU, for debugging only)
+    fused: str = "auto"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -119,6 +123,12 @@ def wire_init(key, spec: INRSpec):
 
 
 def wire_apply(params, coords, spec: INRSpec):
+    if spec.fused != "never" and spec.dtype == jnp.float32:
+        on_tpu = jax.default_backend() == "tpu"
+        if spec.fused == "always" or on_tpu:
+            from wire_tpu.ops.pallas.wire_mlp import wire_mlp_fused
+            return wire_mlp_fused(params, coords, spec,
+                                  interpret=not on_tpu)
     # First layer is real->real linear then complex Gabor (wire.py:73-76:
     # is_first uses a float linear).
     z = linear(params["first"], coords)
