@@ -156,6 +156,165 @@ def register_burst(imstack, full_size):
     return Xstack, Ystack, ok, mats
 
 
+# ---------------------------------------------------------------------------
+# Affine / coordinate transform toolbox (motion.py:432-572)
+# ---------------------------------------------------------------------------
+
+def xy_mgrid(H, W):
+    """(H*W, 2) meshgrid of normalized (x, y) in [-1, 1]
+    (motion.py:79-92)."""
+    Y, X = np.mgrid[:H, :W]
+    X = (2 * X / (W - 1) - 1).astype(np.float32)
+    Y = (2 * Y / (H - 1) - 1).astype(np.float32)
+    return np.stack([X, Y], axis=-1).reshape(-1, 2)
+
+
+def invert_regstack(regstack):
+    """Invert a stack of (2, 3) affine matrices (motion.py:432-447)."""
+    out = np.zeros_like(regstack)
+    last = np.array([[0.0, 0.0, 1.0]])
+    for i in range(regstack.shape[0]):
+        out[i] = np.linalg.inv(np.vstack([regstack[i], last]))[:2]
+    return out
+
+
+def mat2coords(reg_stack, full_res, low_res):
+    """Warped [-1,1] coordinate grids from inverse affine matrices
+    (motion.py:449-484)."""
+    nimg = reg_stack.shape[0]
+    H, W = full_res
+    Hl, Wl = low_res
+    Y, X = np.mgrid[:H, :W]
+    coords = np.hstack((X.reshape(-1, 1), Y.reshape(-1, 1),
+                        np.ones((H * W, 1))))
+    Xs = np.zeros((nimg, Hl, Wl), np.float32)
+    Ys = np.zeros_like(Xs)
+    last = np.array([[0.0, 0.0, 1.0]])
+    for i in range(nimg):
+        mat = np.linalg.inv(np.vstack([reg_stack[i], last]))
+        cn = coords @ mat.T
+        Xn = (2 * cn[:, 0].reshape(H, W) / W - 1).astype(np.float32)
+        Yn = (2 * cn[:, 1].reshape(H, W) / H - 1).astype(np.float32)
+        if (Hl, Wl) != (H, W):
+            Xn = cv2.resize(Xn, (Wl, Hl), interpolation=cv2.INTER_AREA)
+            Yn = cv2.resize(Yn, (Wl, Hl), interpolation=cv2.INTER_AREA)
+        Xs[i], Ys[i] = Xn, Yn
+    return Xs, Ys
+
+
+def param2theta(params, w, h):
+    """Pixel-space affine -> normalized theta for grid-generation
+    (motion.py:486-521; the torch affine_grid convention)."""
+    last = np.zeros((1, 3), np.float32)
+    last[0, 2] = 1
+    theta = np.zeros_like(params)
+    for i in range(params.shape[0]):
+        m = np.linalg.inv(np.vstack([params[i], last]))
+        theta[i, 0, 0] = m[0, 0]
+        theta[i, 0, 1] = m[0, 1] * h / w
+        theta[i, 0, 2] = m[0, 2] * 2 / w + theta[i, 0, 0] + theta[i, 0, 1] - 1
+        theta[i, 1, 0] = m[1, 0] * w / h
+        theta[i, 1, 1] = m[1, 1]
+        theta[i, 1, 2] = m[1, 2] * 2 / h + theta[i, 1, 0] + theta[i, 1, 1] - 1
+    return theta
+
+
+def affine2rigid(mats):
+    """(angles, translations) from affine matrices (motion.py:523-542)."""
+    angles = np.arccos(np.clip(mats[:, 0, 0], -1, 1))
+    translations = mats[:, :, 2]
+    return angles, translations
+
+
+def get_transformed_coords(theta, imsize):
+    """Normalized sampling grids for a batch of theta matrices — the
+    F.affine_grid equivalent (motion.py:544-552), align_corners=False
+    convention: grid(x,y) over pixel centers."""
+    B = theta.shape[0]
+    H, W = imsize
+    # pixel-center normalized base grid (align_corners=False)
+    xs = (2 * (np.arange(W) + 0.5) / W - 1).astype(np.float32)
+    ys = (2 * (np.arange(H) + 0.5) / H - 1).astype(np.float32)
+    X, Y = np.meshgrid(xs, ys)
+    base = np.stack([X, Y, np.ones_like(X)], axis=-1).reshape(-1, 3)
+    out = np.zeros((B, H * W, 2), np.float32)
+    for i in range(B):
+        out[i] = base @ theta[i].T
+    return out
+
+
+def interp_lr(imref, coords, downsample_scale):
+    """Differentiable: sample an upsampled LR reference at transformed HR
+    coordinates then box-downsample (motion.py:554-572) — jnp grid-sample
+    instead of torch F.grid_sample."""
+    import jax
+    import jax.numpy as jnp
+    from wire_tpu.ops.resample import area_downsample_hwc, grid_sample
+    B = coords.shape[0]
+    Hh, Wh = imref.shape[0], imref.shape[1]
+    cf = jnp.asarray(coords).reshape(B, Hh, Wh, 2)
+    imj = jnp.asarray(imref)
+    hrs = jax.vmap(lambda c: grid_sample(imj, c, align_corners=False))(cf)
+    hrs = hrs.reshape(B, Hh, Wh, -1)
+    return jax.vmap(lambda h: area_downsample_hwc(h, downsample_scale))(hrs)
+
+
+def optical_flow(frame1, frame2):
+    """Dense Farnebäck optical flow + flow-warped frame (fb_flow,
+    motion.py:105-128)."""
+    H, W = frame1.shape
+    Y, X = np.mgrid[:H, :W]
+    f1, f2 = frame1, frame2
+    if f1.dtype != np.uint8:
+        # Farnebäck needs 8-bit input; scale floats to [0, 255]
+        scale = max(f1.max(), f2.max(), 1e-8)
+        f1 = np.clip(f1 / scale * 255, 0, 255).astype(np.uint8)
+        f2 = np.clip(f2 / scale * 255, 0, 255).astype(np.uint8)
+    flow = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3,
+                                        5, 1.2, 0)
+    warped = cv2.remap(frame2.astype(np.float32),
+                       (X + flow[..., 0]).astype(np.float32),
+                       (Y + flow[..., 1]).astype(np.float32),
+                       cv2.INTER_LINEAR)
+    return flow, warped
+
+
+def flow2rgb(flow):
+    """HSV flow visualization (motion.py:685-699)."""
+    H, W, _ = flow.shape
+    hsv = np.zeros((H, W, 3), dtype=np.uint8)
+    hsv[..., 1] = 255
+    mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def prune_stack(imstack, ecc_mats, full_res, thres=1.0):
+    """Reject badly registered frames by warped-difference error
+    (motion.py:645-682), using the jnp warp instead of kornia."""
+    import jax.numpy as jnp
+    from wire_tpu.ops.resample import bilinear_sample
+    nimg, Hl, Wl = imstack.shape[:3]
+    H, W = full_res
+    imref = cv2.resize(imstack[0], (W, H), interpolation=cv2.INTER_AREA)
+    Y, X = np.mgrid[:Hl, :Wl]
+    diffs = []
+    for i in range(nimg):
+        m = ecc_mats[i]
+        xs = m[0, 0] * X + m[0, 1] * Y + m[0, 2]
+        ys = m[1, 0] * X + m[1, 1] * Y + m[1, 2]
+        warped = np.asarray(bilinear_sample(jnp.asarray(imref),
+                                            jnp.asarray(xs),
+                                            jnp.asarray(ys)))
+        diffs.append(np.abs(warped - imstack[i]))
+    imdiff = np.stack(diffs)
+    denom = imstack + 1e-2 * imstack.max()
+    diff_array = (imdiff / denom).mean((-1, -2))
+    mask = diff_array < thres
+    return (np.copy(imstack[mask]), np.copy(ecc_mats[mask]), mask, imdiff)
+
+
 @dataclasses.dataclass
 class FrameDataset:
     """Per-frame (coords, pixels, mask) arrays (ImageSRDataset semantics,

@@ -82,3 +82,72 @@ def bbox_crop(vol, thresh=0.99):
     hidx, widx, tidx = np.where(vol > thresh)
     return vol[hidx.min():hidx.max(), widx.min():widx.max(),
                tidx.min():tidx.max()]
+
+
+def jitter_volume(volume, max_shift, rng=None):
+    """Uniformly jitter the sample positions of a binary volume via
+    nearest-neighbor resampling at perturbed coordinates, then re-binarize
+    (volutils.add_noise, volutils.py:16-53)."""
+    from scipy.interpolate import RegularGridInterpolator as rgi
+    rng = np.random if rng is None else rng
+    H, W, T = volume.shape
+    x = np.linspace(-1, 1, H)
+    y = np.linspace(-1, 1, W)
+    z = np.linspace(-1, 1, T)
+    X, Y, Z = np.meshgrid(x, y, z)
+    Xn = np.clip(X + (2 * rng.rand(H, W, T) - 1) * max_shift / H, -1, 1)
+    Yn = np.clip(Y + (2 * rng.rand(H, W, T) - 1) * max_shift / W, -1, 1)
+    Zn = np.clip(Z + (2 * rng.rand(H, W, T) - 1) * max_shift / T, -1, 1)
+    func = rgi((x, y, z), volume, method="nearest")
+    coords = np.stack([Xn.ravel(), Yn.ravel(), Zn.ravel()], axis=-1)
+    noisy = func(coords).reshape(H, W, T).astype(np.float32)
+    noisy = np.transpose(noisy, [1, 0, 2])
+    return (noisy > 0.5).astype(np.float32)
+
+
+def iou_batched(preds, gt, thres=None, maxpoints=2 ** 24):
+    """Chunked IoU for volumes too large for one reduction
+    (volutils.get_IoU_batch, volutils.py:56-72) — non-mutating."""
+    from wire_tpu.train import metrics as M
+    import jax.numpy as jnp
+    preds = np.asarray(preds).ravel()
+    gt = np.asarray(gt).ravel()
+    inter = 0
+    union = 0
+    for b in range(0, preds.size, maxpoints):
+        p = preds[b:b + maxpoints]
+        g = gt[b:b + maxpoints]
+        if thres is not None:
+            p = (p >= thres).astype(np.float32)
+        inter += np.logical_and(p != 0, g != 0).sum()
+        union += np.logical_or(p != 0, g != 0).sum()
+    return inter / union
+
+
+def occupancy_cube_from_coords(coords, preds, sidelength, cube_res,
+                               display_occupancy=None):
+    """Scatter predicted occupancies into a dense cube by voxel index
+    (volutils.get_occupancy_cube, volutils.py:385-411)."""
+    coords = np.asarray(coords).reshape(-1, 3)
+    voxel_idx = np.floor((coords + 1.0) / 2.0 * sidelength).astype(np.int32)
+    voxel_idx = np.clip(voxel_idx, 0, cube_res - 1)
+    if display_occupancy is None:
+        display_occupancy = -np.ones((cube_res, cube_res, cube_res),
+                                     np.float32)
+    else:
+        display_occupancy[...] = -1
+    p = np.asarray(preds).reshape(-1)
+    display_occupancy[voxel_idx[:, 0], voxel_idx[:, 1], voxel_idx[:, 2]] = p
+    return display_occupancy
+
+
+def unfold_blocks(blocks, true_n):
+    """Inverse of block_partition: (nblocks, npts, d) -> (true_n, d)."""
+    flat = np.asarray(blocks).reshape(-1, blocks.shape[-1])
+    return flat[:true_n]
+
+
+def downsample_blocks(blocks, factor):
+    """Keep every ``factor``-th point per block (BlockPCDDataset.downsample
+    role, volutils.py:330-360)."""
+    return np.asarray(blocks)[:, ::factor, :]
