@@ -121,3 +121,46 @@ def test_avg_pool_matches_torch():
     ref = torch.nn.AvgPool2d(4)(torch.tensor(x)).numpy()
     mine = np.asarray(R.avg_pool2d(jnp.asarray(x), 4))
     np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_radon_shear_matches_rotate_for_interior_content():
+    """The FFT three-shear Radon must agree with the exact rotate-based one
+    to interpolation error for signals supported inside the inscribed
+    circle (the standard CT assumption)."""
+    # band-limited smooth phantom: on near-Nyquist content the two methods
+    # legitimately differ (bilinear low-passes, sinc does not)
+    H = W = 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    c = (H - 1) / 2
+    im = np.zeros((H, W), np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        cx, cy = rng.uniform(0.3, 0.7, 2) * H
+        s = rng.uniform(4, 10)
+        im += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    r = np.sqrt((xx - c) ** 2 + (yy - c) ** 2) / (0.45 * H)
+    im = (im * np.clip(1 - r, 0, 1) ** 0.5).astype(np.float32)
+    angles = jnp.linspace(0, 180, 24)
+    s_rot = np.asarray(radon_fn(jnp.asarray(im), angles, method="rotate"))
+    s_sh = np.asarray(radon_fn(jnp.asarray(im), angles, method="shear"))
+    scale = np.abs(s_rot).max()
+    assert np.abs(s_rot - s_sh).max() / scale < 0.005
+    assert np.abs(s_rot - s_sh).mean() / scale < 5e-4
+
+
+def test_radon_shear_gradient_is_adjoint():
+    """Linear operator: grad of <sino, A x> wrt x equals A^T sino."""
+    H = W = 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((8, W)).astype(np.float32))
+    angles = jnp.linspace(0, 180, 8)
+
+    def f(img):
+        return jnp.sum(radon_fn(img, angles, method="shear") * s)
+
+    g = jax.grad(f)(x)
+    # adjoint test: <A x, s> == <x, A^T s>
+    lhs = float(f(x))
+    rhs = float(jnp.sum(x * g))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-4
