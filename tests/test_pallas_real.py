@@ -1,0 +1,67 @@
+"""Fused real-MLP Pallas kernel (interpret mode) vs the jnp reference path
+for every covered family: forward + parameter/coordinate gradients."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+
+FAMILIES = [
+    ("siren", dict(first_omega0=30.0, hidden_omega0=30.0)),
+    ("gauss", dict(scale=8.0)),
+    ("relu", dict()),
+    ("bspline_form", dict(scale=3.0, first_omega0=-0.2, hidden_omega0=-0.2)),
+    ("bspline_cubic", dict(scale=2.0, first_omega0=-0.2,
+                           hidden_omega0=-0.2)),
+    ("bspline_srelu", dict(scale=2.0, first_omega0=-0.2,
+                           hidden_omega0=-0.2)),
+    ("bspline_mscale_repIN", dict(scale=2.0, scale_tensor=(1.0, 4.0),
+                                  scaled_hidden_features=8,
+                                  in_features=2 * 2 * 8)),
+    ("bspline_mscale_HL", dict(scale=2.0, scale_tensor=(1.0, 4.0),
+                               scaled_hidden_features=300, base_split=256)),
+]
+
+
+def _models(nonlin, kw):
+    base = dict(in_features=2, hidden_features=50, hidden_layers=2,
+                out_features=3)
+    base.update(kw)
+    ref = get_inr(nonlin, fused="never", **base)
+    fused = get_inr(nonlin, fused="always", **base)
+    params = ref.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (700, 2)).astype(np.float32))
+    return ref, fused, params, coords
+
+
+@pytest.mark.parametrize("nonlin,kw", FAMILIES, ids=[f[0] for f in FAMILIES])
+def test_fused_forward(nonlin, kw):
+    ref, fused, params, coords = _models(nonlin, kw)
+    a = np.asarray(ref.apply(params, coords))
+    b = np.asarray(fused.apply(params, coords))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nonlin,kw", FAMILIES, ids=[f[0] for f in FAMILIES])
+def test_fused_grads(nonlin, kw):
+    ref, fused, params, coords = _models(nonlin, kw)
+    target = jnp.zeros((coords.shape[0], 3))
+
+    def loss(model):
+        def f(p, c):
+            return jnp.mean((model.apply(p, c) - target) ** 2)
+        return f
+
+    gp_ref, gc_ref = jax.grad(loss(ref), argnums=(0, 1))(params, coords)
+    gp_f, gc_f = jax.grad(loss(fused), argnums=(0, 1))(params, coords)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gp_ref)[0],
+            jax.tree_util.tree_flatten_with_path(gp_f)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=f"{nonlin} {jax.tree_util.keystr(kp)}")
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_ref),
+                               rtol=2e-4, atol=2e-5)

@@ -181,6 +181,53 @@ def wire2d_apply(params, coords, spec: INRSpec):
     return yr
 
 
+# ---------------------------------------------------------------------------
+# Fused real-MLP dispatch (ops/pallas/real_mlp.py): canonicalize a family's
+# params to (w, alpha, beta) per layer + basis kinds, run the fused kernel.
+# ---------------------------------------------------------------------------
+
+def _use_fused(spec):
+    if spec.fused == "never" or spec.dtype != jnp.float32:
+        return False, False
+    if not spec.outermost_linear:
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if spec.fused == "always":
+        return True, not on_tpu
+    return on_tpu, False
+
+
+def _layer_names(spec):
+    return ["first"] + [f"hidden_{i}" for i in range(spec.hidden_layers)]
+
+
+def _canon_uniform(params, spec, kind, alpha_of, beta_of, names=None):
+    """Canonical params for families where every act layer shares one
+    (alpha, beta) folding rule."""
+    names = _layer_names(spec) if names is None else names
+    layers = []
+    for nm in names:
+        w = params[nm]["w"]
+        b = params[nm]["b"]
+        width = w.shape[1]
+        layers.append({
+            "w": w,
+            "alpha": jnp.full((width,), alpha_of, w.dtype),
+            "beta": beta_of(b),
+        })
+    return {"layers": layers,
+            "final": {"w": params["final"]["w"], "b": params["final"]["b"]}}
+
+
+def _fused_real(params, coords, spec, kinds, canon):
+    from wire_tpu.ops.pallas.real_mlp import real_mlp_fused
+    lead = coords.shape[:-1]
+    c2 = coords.reshape(-1, coords.shape[-1])
+    out = real_mlp_fused(canon, c2, tuple(kinds),
+                         jax.default_backend() != "tpu")
+    return out.reshape(*lead, out.shape[-1])
+
+
 # ===========================================================================
 # SIREN (modules/siren.py)
 # ===========================================================================
@@ -206,6 +253,21 @@ def siren_init(key, spec: INRSpec):
 
 
 def siren_apply(params, coords, spec: INRSpec):
+    # the backward recompute of sin/cos costs more than XLA's residual
+    # storage for this family — fused only on explicit request
+    use = _use_fused(spec)[0] and spec.fused == "always"
+    if use:
+        names = _layer_names(spec)
+        layers = []
+        for i, nm in enumerate(names):
+            w = params[nm]["w"]
+            omega = spec.first_omega0 if i == 0 else spec.hidden_omega0
+            layers.append({"w": w,
+                           "alpha": jnp.full((w.shape[1],), omega, w.dtype),
+                           "beta": omega * params[nm]["b"]})
+        canon = {"layers": layers, "final": dict(params["final"])}
+        return _fused_real(params, coords, spec,
+                           ("sine",) * len(names), canon)
     x = act.sine(linear(params["first"], coords), spec.first_omega0)
     for i in range(spec.hidden_layers):
         x = act.sine(linear(params[f"hidden_{i}"], x), spec.hidden_omega0)
@@ -233,6 +295,13 @@ def _plain_mlp_init(key, spec: INRSpec, in_features=None):
 
 
 def gauss_apply(params, coords, spec: INRSpec):
+    use, _ = _use_fused(spec)
+    if use:
+        s = spec.scale
+        canon = _canon_uniform(params, spec, "gauss", s,
+                               lambda b: s * b)
+        return _fused_real(params, coords, spec,
+                           ("gauss",) * (spec.hidden_layers + 1), canon)
     x = act.gauss(linear(params["first"], coords), spec.scale)
     for i in range(spec.hidden_layers):
         x = act.gauss(linear(params[f"hidden_{i}"], x), spec.scale)
@@ -280,6 +349,11 @@ def relu_apply(params, coords, spec: INRSpec):
     if spec.pos_encode:
         coords = act.posenc(coords, posenc_num_frequencies(spec),
                             spec.in_features)
+    use, _ = _use_fused(spec)
+    if use:
+        canon = _canon_uniform(params, spec, "relu", 1.0, lambda b: b)
+        return _fused_real(params, coords, spec,
+                           ("relu",) * (spec.hidden_layers + 1), canon)
     x = act.relu(linear(params["first"], coords))
     for i in range(spec.hidden_layers):
         x = act.relu(linear(params[f"hidden_{i}"], x))
@@ -349,6 +423,13 @@ def _bspline_layer(p, x, sigma, mode, basis=act.bspline_quadratic):
 
 
 def bspline_form_apply(params, coords, spec: INRSpec):
+    use, _ = _use_fused(spec)
+    if use:
+        s = spec.scale
+        canon = _canon_uniform(params, spec, "qspline", 1.0 / s,
+                               lambda b: b / s)
+        return _fused_real(params, coords, spec,
+                           ("qspline",) * (spec.hidden_layers + 1), canon)
     x = _bspline_layer(params["first"], coords, spec.scale, "divide")
     for i in range(spec.hidden_layers):
         x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "divide")
@@ -358,6 +439,13 @@ def bspline_form_apply(params, coords, spec: INRSpec):
 
 
 def bspline_cubic_apply(params, coords, spec: INRSpec):
+    use, _ = _use_fused(spec)
+    if use:
+        s = spec.scale
+        # 'pre' mode: z = (s*a)@W + b = s*(a@W) + b
+        canon = _canon_uniform(params, spec, "cspline", s, lambda b: b)
+        return _fused_real(params, coords, spec,
+                           ("cspline",) * (spec.hidden_layers + 1), canon)
     x = _bspline_layer(params["first"], coords, spec.scale, "pre",
                        act.bspline_cubic)
     for i in range(spec.hidden_layers):
@@ -370,6 +458,13 @@ def bspline_cubic_apply(params, coords, spec: INRSpec):
 
 
 def bspline_srelu_apply(params, coords, spec: INRSpec):
+    use, _ = _use_fused(spec)
+    if use:
+        s = spec.scale
+        canon = _canon_uniform(params, spec, "srelu", s, lambda b: s * b)
+        return _fused_real(params, coords, spec,
+                           ("srelu",) * (spec.hidden_layers + 1), canon)
+
     def f(p, x):
         return act.bspline_srelu(linear(p, x), spec.scale)
     x = f(params["first"], coords)
@@ -468,6 +563,12 @@ def mscale_repin_apply(params, coords, spec: INRSpec):
         B, -1, ns * coord_dim * repeat)
     if squeeze:
         x = x[0]
+    use, _ = _use_fused(spec)
+    if use:
+        s = spec.scale
+        canon = _canon_uniform(params, spec, "qspline", s, lambda b: s * b)
+        return _fused_real(params, x, spec,
+                           ("qspline",) * (spec.hidden_layers + 1), canon)
     x = _bspline_layer(params["first"], x, spec.scale, "post")
     for i in range(spec.hidden_layers):
         x = _bspline_layer(params[f"hidden_{i}"], x, spec.scale, "post")
@@ -502,16 +603,39 @@ def mscale_hl_apply(params, coords, spec: INRSpec):
     # (bspline_mscale_HL.py:85-97): first `base_split` units at
     # scale_tensor[0], the rest split evenly across remaining scales.
     scales = spec.scale_tensor
-    lin = linear(params["first"], coords)
-    width = lin.shape[-1]
+    width = params["first"]["w"].shape[1]
     base = spec.base_split
     nrest = len(scales) - 1
-    pieces = []
     bounds = [0, base]
     if nrest > 0:
         split = (width - base) // nrest
         for i in range(nrest):
             bounds.append(base + (i + 1) * split)
+
+    use, _ = _use_fused(spec)
+    if use and not spec.detach_split and bounds[-1] == width:
+        # per-lane alpha folds the band scales into one fused first layer
+        alpha0 = np.ones((width,), np.float32)
+        for i, s in enumerate(scales):
+            alpha0[bounds[i]:bounds[i + 1]] = 1.0 / s
+        alpha0 = jnp.asarray(alpha0)
+        layers = [{"w": params["first"]["w"], "alpha": alpha0,
+                   "beta": alpha0 * params["first"]["b"]}]
+        s = spec.scale
+        for nm in ["trunk_in"] + [f"hidden_{i}"
+                                  for i in range(max(spec.hidden_layers - 1,
+                                                     0))]:
+            w = params[nm]["w"]
+            layers.append({"w": w,
+                           "alpha": jnp.full((w.shape[1],), 1.0 / s,
+                                             w.dtype),
+                           "beta": params[nm]["b"] / s})
+        canon = {"layers": layers, "final": dict(params["final"])}
+        return _fused_real(params, coords, spec,
+                           ("qspline",) * len(layers), canon)
+
+    lin = linear(params["first"], coords)
+    pieces = []
     for i, s in enumerate(scales):
         seg = lin[..., bounds[i]:bounds[i + 1]]
         if spec.detach_split:

@@ -1,0 +1,335 @@
+"""Fused Pallas TPU kernel for the real-valued INR families.
+
+One kernel covers siren, gauss, relu, and the whole B-spline family
+(quadratic/cubic/srelu + the multiscale first-layer variants): every layer
+is canonicalized to
+
+    z = a_prev @ W          (MXU)
+    v = alpha * z + beta    (per-lane affine folding the family's
+                             scale/omega/bias conventions)
+    a = B(v)                (VPU basis: qspline/cspline/sin/gauss/relu/
+                             srelu/identity)
+
+with a plain final linear.  Like the WIRE kernel (wire_mlp.py), the whole
+forward runs per coordinate tile with weights resident in VMEM, and the
+custom VJP recomputes activations in the backward kernel, accumulating
+weight/alpha/beta gradients across the sequential grid.
+
+Folding table (reference conventions, SURVEY.md §2.1):
+  bspline 'divide'  B(z/s):       alpha=1/s,  beta=b/s      (bspline_form.py:44)
+  bspline 'pre'     B(W(sx)+b):   alpha=s,    beta=b        (bspline_cubic.py:45)
+  bspline 'post'    B(s(Wx+b)):   alpha=s,    beta=s*b      (bspline_mscale_repIN.py:41)
+  sine    sin(w(Wx+b)):           alpha=w,    beta=w*b      (siren.py:48)
+  gauss   exp(-(s(Wx+b))^2):      alpha=s,    beta=s*b      (gauss.py:28)
+  relu:                           alpha=1,    beta=b
+  srelu   (r(1-v)r(v))^2, v=s*z:  alpha=s,    beta=s*b      (bspline_srelu.py:32)
+  mscale_HL first layer: per-lane alpha=1/s_band             (bspline_mscale_HL.py:85-97)
+  mscale_1 first layer: identity basis over [s_k * x] @ W    (bspline_mscale_1.py:80)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _r(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _basis(kind):
+    if kind == "qspline":
+        def B(v):
+            return (0.5 * _r(v + 1.5) ** 2 - 1.5 * _r(v + 0.5) ** 2
+                    + 1.5 * _r(v - 0.5) ** 2 - 0.5 * _r(v - 1.5) ** 2)
+
+        def dB(v):
+            return (_r(v + 1.5) - 3.0 * _r(v + 0.5)
+                    + 3.0 * _r(v - 0.5) - _r(v - 1.5))
+        return B, dB
+    if kind == "cspline":
+        def B(v):
+            return ((1 / 6) * _r(v + 2) ** 3 - (2 / 3) * _r(v + 1) ** 3
+                    + _r(v) ** 3 - (2 / 3) * _r(v - 1) ** 3
+                    + (1 / 6) * _r(v - 2) ** 3)
+
+        def dB(v):
+            return (0.5 * _r(v + 2) ** 2 - 2.0 * _r(v + 1) ** 2
+                    + 3.0 * _r(v) ** 2 - 2.0 * _r(v - 1) ** 2
+                    + 0.5 * _r(v - 2) ** 2)
+        return B, dB
+    if kind == "sine":
+        return jnp.sin, jnp.cos
+    if kind == "gauss":
+        def B(v):
+            return jnp.exp(-v * v)
+
+        def dB(v):
+            return -2.0 * v * jnp.exp(-v * v)
+        return B, dB
+    if kind == "relu":
+        def B(v):
+            return jnp.maximum(v, 0.0)
+
+        def dB(v):
+            return (v > 0).astype(v.dtype)
+        return B, dB
+    if kind == "srelu":
+        def B(v):
+            g = _r(1.0 - v) * _r(v)
+            return g * g
+
+        def dB(v):
+            g = _r(1.0 - v) * _r(v)
+            return 2.0 * g * (_r(1.0 - v) * (v > 0)
+                              - (v < 1.0) * _r(v)).astype(v.dtype)
+        return B, dB
+    if kind == "identity":
+        def B(v):
+            return v
+
+        def dB(v):
+            return jnp.ones_like(v)
+        return B, dB
+    raise ValueError(kind)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds):
+    a = c
+    acts = []
+    for W, al, be, kind in zip(ws, alphas, betas, kinds):
+        B, _ = _basis(kind)
+        z = _dot(a, W)
+        v = al * z + be
+        a = B(v)
+        acts.append((z, a))
+    y = _dot(a, wf) + bf
+    return acts, y
+
+
+def _make_fwd_kernel(L, kinds):
+    def kernel(*refs):
+        c_ref = refs[0]
+        ws = [refs[1 + 3 * i][:] for i in range(L)]
+        alphas = [refs[2 + 3 * i][:] for i in range(L)]
+        betas = [refs[3 + 3 * i][:] for i in range(L)]
+        wf = refs[1 + 3 * L][:]
+        bf = refs[2 + 3 * L][:]
+        out_ref = refs[3 + 3 * L]
+        _, y = _fwd_recurrence(c_ref[:], ws, alphas, betas, wf, bf, kinds)
+        out_ref[:] = y
+    return kernel
+
+
+def _make_bwd_kernel(L, kinds):
+    def kernel(*refs):
+        c_ref = refs[0]
+        g_ref = refs[1]
+        ws = [refs[2 + 3 * i][:] for i in range(L)]
+        alphas = [refs[3 + 3 * i][:] for i in range(L)]
+        betas = [refs[4 + 3 * i][:] for i in range(L)]
+        wf = refs[2 + 3 * L][:]
+        outs = refs[4 + 3 * L:]
+        dc_ref = outs[0]
+        dws = outs[1:1 + L]
+        dals = outs[1 + L:1 + 2 * L]
+        dbes = outs[1 + 2 * L:1 + 3 * L]
+        dwf_ref = outs[1 + 3 * L]
+        dbf_ref = outs[2 + 3 * L]
+        i = pl.program_id(0)
+
+        def acc(ref, val):
+            @pl.when(i == 0)
+            def _():
+                ref[:] = val
+
+            @pl.when(i != 0)
+            def _():
+                ref[:] += val
+
+        c = c_ref[:]
+        acts, _ = _fwd_recurrence(c, ws, alphas, betas,
+                                  wf, refs[3 + 3 * L][:], kinds)
+        g = g_ref[:]
+        a_last = acts[-1][1]
+        acc(dwf_ref, _dot(a_last.T, g))
+        acc(dbf_ref, jnp.sum(g, axis=0, keepdims=True))
+        da = _dot(g, wf.T)
+        for li in range(L - 1, -1, -1):
+            z, _ = acts[li]
+            _, dB = _basis(kinds[li])
+            v = alphas[li] * z + betas[li]
+            dv = dB(v) * da
+            dz = alphas[li] * dv
+            acc(dals[li], jnp.sum(z * dv, axis=0, keepdims=True))
+            acc(dbes[li], jnp.sum(dv, axis=0, keepdims=True))
+            a_prev = c if li == 0 else acts[li - 1][1]
+            acc(dws[li], _dot(a_prev.T, dz))
+            da = _dot(dz, ws[li].T)
+        dc_ref[:] = da
+    return kernel
+
+
+TILE_N = 512
+
+
+@functools.lru_cache(maxsize=64)
+def _programs(kinds, widths, out_dim, n_tiles, interpret):
+    L = len(kinds)
+    d = widths[0]
+    wp = [_round_up(w, 128) for w in widths[1:]]
+    dp = d  # input feature dim stays exact (may be 2, 3, or wide for repIN)
+    op = _round_up(max(out_dim, 1), 128)
+
+    w_shapes = []
+    ins = [dp] + wp[:-1]
+    for i in range(L):
+        w_shapes.append((ins[i] if i == 0 else wp[i - 1], wp[i]))
+    f_shape = (wp[-1], op)
+
+    def fullspec(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec((TILE_N, dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for i in range(L):
+        in_specs += [fullspec(w_shapes[i]), fullspec((1, wp[i])),
+                     fullspec((1, wp[i]))]
+    in_specs += [fullspec(f_shape), fullspec((1, op))]
+
+    fwd = pl.pallas_call(
+        _make_fwd_kernel(L, kinds),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE_N, op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, op), jnp.float32),
+        interpret=interpret,
+    )
+
+    out_specs = [pl.BlockSpec((TILE_N, dp), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles * TILE_N, dp), jnp.float32)]
+    for i in range(L):
+        out_specs.append(fullspec(w_shapes[i]))
+        out_shapes.append(jax.ShapeDtypeStruct(w_shapes[i], jnp.float32))
+    for i in range(L):
+        out_specs.append(fullspec((1, wp[i])))
+        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
+    for i in range(L):
+        out_specs.append(fullspec((1, wp[i])))
+        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
+    out_specs += [fullspec(f_shape), fullspec((1, op))]
+    out_shapes += [jax.ShapeDtypeStruct(f_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((1, op), jnp.float32)]
+
+    bwd = pl.pallas_call(
+        _make_bwd_kernel(L, kinds),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((TILE_N, dp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE_N, op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + in_specs[1:],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+    return fwd, bwd, wp, op
+
+
+def _pad_canonical(canon, wp, op):
+    """Zero-pad canonical layer params to aligned shapes."""
+    L = len(canon["layers"])
+    padded = []
+    for i, lay in enumerate(canon["layers"]):
+        W = lay["w"]
+        win, wout = W.shape
+        win_p = W.shape[0] if i == 0 else wp[i - 1]
+        Wp = jnp.pad(W, ((0, win_p - win), (0, wp[i] - wout)))
+        al = jnp.pad(lay["alpha"].reshape(1, -1), ((0, 0), (0, wp[i] - wout)))
+        be = jnp.pad(lay["beta"].reshape(1, -1), ((0, 0), (0, wp[i] - wout)))
+        padded.append((Wp, al, be))
+    wf = canon["final"]["w"]
+    h, o = wf.shape
+    wfp = jnp.pad(wf, ((0, wp[-1] - h), (0, op - o)))
+    bfp = jnp.pad(canon["final"]["b"].reshape(1, -1), ((0, 0), (0, op - o)))
+    return padded, wfp, bfp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def real_mlp_fused(canon, coords, kinds, interpret=False):
+    """canon: {'layers': [{'w','alpha','beta'}...], 'final': {'w','b'}};
+    coords (N, d); kinds: tuple of basis names per layer.
+    Differentiable in canon and coords (gradients flow back through the
+    jnp-side canonicalization to the family's native params)."""
+    out, _ = _fwd(canon, coords, kinds, interpret)
+    return out
+
+
+def _fwd(canon, coords, kinds, interpret):
+    n, d = coords.shape
+    widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
+    out_dim = canon["final"]["b"].shape[-1]
+    n_pad = _round_up(n, TILE_N)
+    fwd, _, wp, op = _programs(tuple(kinds), widths, out_dim,
+                               n_pad // TILE_N, interpret)
+    padded, wfp, bfp = _pad_canonical(canon, wp, op)
+    args = [jnp.pad(coords, ((0, n_pad - n), (0, 0)))]
+    for Wp, al, be in padded:
+        args += [Wp, al, be]
+    args += [wfp, bfp]
+    out = fwd(*args)
+    return out[:n, :out_dim], (canon, coords)
+
+
+def _bwd(kinds, interpret, res, g):
+    canon, coords = res
+    n, d = coords.shape
+    widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
+    out_dim = canon["final"]["b"].shape[-1]
+    n_pad = _round_up(n, TILE_N)
+    _, bwd, wp, op = _programs(tuple(kinds), widths, out_dim,
+                               n_pad // TILE_N, interpret)
+    padded, wfp, bfp = _pad_canonical(canon, wp, op)
+    args = [jnp.pad(coords, ((0, n_pad - n), (0, 0))),
+            jnp.pad(g, ((0, n_pad - n), (0, op - out_dim)))]
+    for Wp, al, be in padded:
+        args += [Wp, al, be]
+    args += [wfp, bfp]
+    outs = bwd(*args)
+    L = len(kinds)
+    dc = outs[0][:n]
+    dlayers = []
+    for i in range(L):
+        win, wout = canon["layers"][i]["w"].shape
+        dlayers.append({
+            "w": outs[1 + i][:win, :wout],
+            "alpha": outs[1 + L + i][0, :wout].reshape(
+                canon["layers"][i]["alpha"].shape),
+            "beta": outs[1 + 2 * L + i][0, :wout].reshape(
+                canon["layers"][i]["beta"].shape),
+        })
+    h, o = canon["final"]["w"].shape
+    dcanon = {
+        "layers": dlayers,
+        "final": {"w": outs[1 + 3 * L][:h, :o],
+                  "b": outs[2 + 3 * L][0, :o].reshape(
+                      canon["final"]["b"].shape)},
+    }
+    return dcanon, dc
+
+
+real_mlp_fused.defvjp(_fwd, _bwd)
