@@ -54,38 +54,45 @@ def radon_batch(imgs, angles_degrees, **kw):
 # FFT three-shear path
 # ---------------------------------------------------------------------------
 
-def _next_pow2(x):
-    return 1 << (int(x) - 1).bit_length()
+def _fft_size(minimum):
+    """Smallest 2^a*3^b size >= minimum (FFT-friendly)."""
+    best = 1 << (int(minimum) - 1).bit_length()
+    p3 = 1
+    while p3 < best:
+        p2 = 1
+        while p2 * p3 < minimum:
+            p2 *= 2
+        best = min(best, p2 * p3)
+        p3 *= 3
+    return best
+
+
+def _shear_x_from_rfft(F, ty, P):
+    """Per-row fractional translate given the row rfft: out[y, x] =
+    in[y, x - ty[y]]."""
+    k = jnp.fft.rfftfreq(P).astype(ty.dtype)
+    phase = jnp.exp(-2j * jnp.pi * k[None, :] * ty[:, None])
+    return jnp.fft.irfft(F * phase, n=P, axis=1).astype(ty.dtype)
 
 
 def _shear_x(im, ty):
-    """Per-row fractional translate: out[y, x] = in[y, x - ty[y]]."""
-    F = jnp.fft.fft(im, axis=1)
-    k = jnp.fft.fftfreq(im.shape[1]).astype(im.dtype)
-    phase = jnp.exp(-2j * jnp.pi * k[None, :] * ty[:, None])
-    return jnp.real(jnp.fft.ifft(F * phase, axis=1)).astype(im.dtype)
+    return _shear_x_from_rfft(jnp.fft.rfft(im, axis=1), ty, im.shape[1])
 
 
 def _shear_y(im, tx):
-    F = jnp.fft.fft(im, axis=0)
-    k = jnp.fft.fftfreq(im.shape[0]).astype(im.dtype)
+    F = jnp.fft.rfft(im, axis=0)
+    k = jnp.fft.rfftfreq(im.shape[0]).astype(im.dtype)
     phase = jnp.exp(-2j * jnp.pi * k[:, None] * tx[None, :])
-    return jnp.real(jnp.fft.ifft(F * phase, axis=0)).astype(im.dtype)
-
-
-def _rot90k(im, k):
-    """Select among the three 90-degree-multiple pre-rotations (k in 0..2),
-    counter-clockwise in the on-screen (OpenCV) sense to match `rotate`."""
-    variants = jnp.stack([im, jnp.rot90(im, 1), jnp.rot90(im, 2)])
-    return variants[k]
+    return jnp.fft.irfft(F * phase, n=im.shape[0], axis=0).astype(im.dtype)
 
 
 def _radon_shear(img, angles_degrees):
     H, W = img.shape
     S = max(H, W)
-    # pad to a centered square with margin so shears never wrap; keep the
-    # original pixel center at the padded center => offsets must be integral
-    P = _next_pow2(2 * S)
+    # pad to a centered square with margin so shears never wrap (rotated
+    # content stays within a sqrt(2)*S/2-radius disk; intermediate shear
+    # states stay within ~0.78*S half-extent)
+    P = _fft_size(int(np.ceil(1.6 * S)) + 2)
     py0 = (P - H) // 2
     px0 = (P - W) // 2
     pad = jnp.zeros((P, P), img.dtype)
@@ -100,13 +107,17 @@ def _radon_shear(img, angles_degrees):
     k = jnp.clip(jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32), 0, 2)
     phi = theta - k.astype(img.dtype) * (jnp.pi / 2)
 
+    # three 90-degree pre-rotations (exact); their row-ffts are shared by
+    # every angle with the same k
+    variants = jnp.stack([pad, jnp.rot90(pad, 1), jnp.rot90(pad, 2)])
+    F1 = jnp.fft.rfft(variants, axis=2)
+
     def project(k_i, phi_i):
-        base = _rot90k(pad, k_i)
         # inverse-warp shears implementing dst(x,y)=src(R(phi)(x,y)):
         # R(phi) = Shx(a) Shy(b) Shx(a), a = tan(phi/2), b = -sin(phi)
         a = jnp.tan(phi_i / 2)
         b = -jnp.sin(phi_i)
-        im1 = _shear_x(base, a * yy)
+        im1 = _shear_x_from_rfft(F1[k_i], a * yy, P)
         im2 = _shear_y(im1, b * xx)
         im3 = _shear_x(im2, a * yy)
         return jnp.sum(im3, axis=0)

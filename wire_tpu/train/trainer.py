@@ -291,27 +291,48 @@ def _pointwise_program(model, cfg: FitConfig, npoints, nchunks, mp, npad,
                     jnp.transpose(full, (0, 3, 1, 2)))
             return loss, pred
 
+        def full_batch_loss(p):
+            # nchunks == 1 and no padding: the minibatch is the whole grid,
+            # so the permutation/gather/scatter machinery is pure overhead
+            pred = model.apply(p, coords)
+            loss = jnp.mean((pred - target) ** 2)
+            if tv_weight > 0.0 and image_shape is not None:
+                H, W, Cc = image_shape
+                full = pred.reshape(1, H, W, Cc)
+                loss = loss + tv_weight * _tv(
+                    jnp.transpose(full, (0, 3, 1, 2)))
+            return loss, pred
+
+        full_batch = (nchunks == 1 and npad == 0)
+
         def epoch_body(carry, _):
             (params, opt_state, rec, key, best_mse, best_rec,
              best_params) = carry
-            key, sub = jax.random.split(key)
-            perm = jax.random.permutation(sub, npoints)
-            if npad:
-                perm = jnp.concatenate(
-                    [perm, jnp.full((npad,), npoints, perm.dtype)])
-            perm = perm.reshape(nchunks, mp)
-
-            def chunk_body(inner, idx):
-                params, opt_state, rec = inner
+            if full_batch:
                 (loss, pred), grads = jax.value_and_grad(
-                    chunk_loss, has_aux=True)(params, idx)
+                    full_batch_loss, has_aux=True)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                rec = rec.at[idx].set(pred, mode="drop")
-                return (params, opt_state, rec), loss
+                rec = pred
+            else:
+                key, sub = jax.random.split(key)
+                perm = jax.random.permutation(sub, npoints)
+                if npad:
+                    perm = jnp.concatenate(
+                        [perm, jnp.full((npad,), npoints, perm.dtype)])
+                perm = perm.reshape(nchunks, mp)
 
-            (params, opt_state, rec), _ = jax.lax.scan(
-                chunk_body, (params, opt_state, rec), perm)
+                def chunk_body(inner, idx):
+                    params, opt_state, rec = inner
+                    (loss, pred), grads = jax.value_and_grad(
+                        chunk_loss, has_aux=True)(params, idx)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    rec = rec.at[idx].set(pred, mode="drop")
+                    return (params, opt_state, rec), loss
+
+                (params, opt_state, rec), _ = jax.lax.scan(
+                    chunk_body, (params, opt_state, rec), perm)
 
             mse_noisy = jnp.mean((target - rec) ** 2)
             mse_gt = jnp.mean((gt_arr - rec) ** 2)
