@@ -112,3 +112,26 @@ def _path_str(entry):
     if isinstance(entry, jax.tree_util.SequenceKey):
         return str(entry.idx)
     return str(entry)
+
+
+def save_checkpoint_orbax(path, params, step=0):
+    """Orbax checkpoint (for multi-host / async use-cases; the .npz path
+    covers single-host)."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_checkpoint_orbax(path, like=None):
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            import jax
+            target = jax.tree.map(
+                lambda x: ocp.utils.to_shape_dtype_struct(x)
+                if hasattr(ocp.utils, "to_shape_dtype_struct") else x, like)
+            try:
+                return ckptr.restore(os.path.abspath(path), target)
+            except Exception:
+                pass
+        return ckptr.restore(os.path.abspath(path))
