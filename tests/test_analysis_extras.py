@@ -141,3 +141,31 @@ def test_layer_outputs_montage():
                              nfilters_vis=4)
     assert len(mons) == 3  # first + 2 hidden
     assert all(m.ndim == 2 for m in mons)
+
+
+def test_get_sr_data_and_shifted_burst():
+    rng = np.random.RandomState(0)
+    im3 = I.synthetic_image(32, 32, 3, seed=0)
+    stack, ecc = Mo.get_sr_data(im3, 2, nimg=3, get_gt=True, rng=rng)
+    assert stack.shape == (3, 16, 16, 3) and ecc.shape == (3, 2, 3)
+    gray = im3[..., 0]
+    st, Xs, Ys = Mo.shifted_downsampled_burst(gray, 2, nshifts=3,
+                                              rng=np.random.RandomState(1))
+    assert st.shape == (3, 16, 16)
+    assert Xs.min() >= -2 and Xs.max() <= 2
+
+
+def test_query_coords_and_cuboids():
+    blocks, n = V.get_query_coords((-1, -1, -1), (1, 1, 1), 8, 64)
+    assert blocks.shape[1:] == (64, 3) and n == 512
+    X, Y, Z = V.cuboid_data((0, 0, 0), (1, 1, 1))
+    assert X.shape == (4, 5)
+
+
+def test_seed_everything():
+    from wire_tpu.train.seeding import seed_everything
+    key = seed_everything(3)
+    a = np.random.rand(3)
+    seed_everything(3)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)

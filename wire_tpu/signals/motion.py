@@ -156,6 +156,73 @@ def register_burst(imstack, full_size):
     return Xstack, Ystack, ok, mats
 
 
+def get_sr_data(im, scale, nimg=10, simulation=True, get_gt=False,
+                shift_max=10, theta_max=np.pi / 12, rng=None):
+    """Wrapper producing an SR burst + registration matrices from either a
+    single HR image (simulation) or a pre-captured stack
+    (motion.get_SR_data, motion.py:200-262).
+
+    Returns (imstack (n,Hl,Wl[,C]), mats (n,2,3))."""
+    rng = np.random if rng is None else rng
+    if simulation:
+        if im.ndim == 2:
+            im = im[..., None].repeat(3, -1)
+        imstack_hr, _, _, mats = make_burst(im, shift_max, theta_max, nimg,
+                                            rng=rng)
+        imstack = downsample_burst(imstack_hr, scale) if scale > 1 \
+            else imstack_hr
+        if get_gt:
+            ecc = invert_regstack(mats)
+        else:
+            gray = imstack.mean(-1)
+            _, _, _, ecc = register_burst(gray, gray.shape[1:3])
+        return imstack, ecc
+    imstack = np.copy(im[:nimg], order="C")
+    gray = imstack.mean(-1) if imstack.ndim == 4 else imstack
+    _, _, _, ecc = register_burst(gray, gray.shape[1:3])
+    return imstack, ecc
+
+
+def shifted_downsampled_burst(im, scale, shift_max=10,
+                              theta_max=np.pi / 12, nshifts=5,
+                              perturb_coords=False, rng=None):
+    """Shift-then-rotate-about-image-center burst with area-downsampled
+    coordinate grids (get_downsampled_shifted_images, motion.py:323-398);
+    optional coordinate perturbation for registration-error studies.
+
+    im: (H, W) grayscale. Returns (imstack (n,Hl,Wl), Xstack, Ystack in
+    [-1,1])."""
+    rng = np.random if rng is None else rng
+    H, W = im.shape
+    shifts = rng.randint(-shift_max, shift_max, size=[nshifts, 2])
+    thetas = (2 * rng.rand(nshifts) - 1) * theta_max
+    shifts[0, :] = 0
+    thetas[0] = 0
+    Y, X = np.mgrid[:H, :W]
+    Hl, Wl = int(H / scale), int(W / scale)
+    imstack = np.zeros((nshifts, Hl, Wl), np.float32)
+    Xstack = np.zeros_like(imstack)
+    Ystack = np.zeros_like(imstack)
+    for i in range(nshifts):
+        Xs = X - shifts[i, 1]
+        Ys = Y - shifts[i, 0]
+        c, s = np.cos(thetas[i]), np.sin(thetas[i])
+        Xr = (Xs - W / 2) * c - (Ys - H / 2) * s + W / 2
+        Yr = (Xs - W / 2) * s + (Ys - H / 2) * c + H / 2
+        Xn = cv2.resize(Xr.astype(np.float32), (Wl, Hl),
+                        interpolation=cv2.INTER_AREA)
+        Yn = cv2.resize(Yr.astype(np.float32), (Wl, Hl),
+                        interpolation=cv2.INTER_AREA)
+        imstack[i] = cv2.remap(im.astype(np.float32), Xn, Yn,
+                               cv2.INTER_AREA)
+        if perturb_coords:
+            Xn = Xn + rng.randn(Hl, Wl).astype(np.float32)
+            Yn = Yn + rng.randn(Hl, Wl).astype(np.float32)
+        Xstack[i] = 2 * Xn / W - 1
+        Ystack[i] = 2 * Yn / H - 1
+    return imstack, Xstack, Ystack
+
+
 # ---------------------------------------------------------------------------
 # Affine / coordinate transform toolbox (motion.py:432-572)
 # ---------------------------------------------------------------------------

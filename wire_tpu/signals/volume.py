@@ -151,3 +151,45 @@ def downsample_blocks(blocks, factor):
     """Keep every ``factor``-th point per block (BlockPCDDataset.downsample
     role, volutils.py:330-360)."""
     return np.asarray(blocks)[:, ::factor, :]
+
+
+def get_query_coords(minlim, maxlim, cube_res, npoints_per_block):
+    """Regular query grid for blockwise implicit-model probing, folded into
+    (nblocks, npts, 3) chunks (volutils.get_query_coords, volutils.py:145-159)."""
+    x = np.linspace(minlim[0], maxlim[0], cube_res)
+    y = np.linspace(minlim[1], maxlim[1], cube_res)
+    z = np.linspace(minlim[2], maxlim[2], cube_res)
+    X, Y, Z = np.meshgrid(x, y, z)
+    coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()],
+                      axis=-1).astype(np.float32)
+    return block_partition(coords, npoints_per_block)
+
+
+def cuboid_data(origin, size=(1, 1, 1)):
+    """Face meshes of an axis-aligned cuboid for matplotlib surface plots
+    (volutils.cuboid_data, volutils.py:441-464)."""
+    o = origin
+    l, w, h = size
+    eps = 0.01
+    l, w, h = l - eps, w - eps, h - eps
+    x = [[o[0], o[0] + l, o[0] + l, o[0], o[0]]] * 4
+    y = [[o[1], o[1], o[1] + w, o[1] + w, o[1]],
+         [o[1], o[1], o[1] + w, o[1] + w, o[1]],
+         [o[1], o[1], o[1], o[1], o[1]],
+         [o[1] + w, o[1] + w, o[1] + w, o[1] + w, o[1] + w]]
+    z = [[o[2]] * 5,
+         [o[2] + h] * 5,
+         [o[2], o[2], o[2] + h, o[2] + h, o[2]],
+         [o[2], o[2], o[2] + h, o[2] + h, o[2]]]
+    return np.array(x), np.array(y), np.array(z)
+
+
+def plot_cube_at(pos=(0, 0, 0), size=(1, 1, 1), color="b", edgecolor="k",
+                 alpha=1.0, ax=None, **kwargs):
+    """Render one cuboid on a 3D matplotlib axis (volutils.plotCubeAt,
+    volutils.py:467-487)."""
+    if ax is None:
+        return
+    X, Y, Z = cuboid_data(pos, size)
+    ax.plot_surface(X, Y, Z, color=color, rstride=1, cstride=1, alpha=alpha,
+                    edgecolors=edgecolor, linewidth=0.1, **kwargs)
