@@ -65,3 +65,26 @@ def test_fused_grads(nonlin, kw):
                                    err_msg=f"{nonlin} {jax.tree_util.keystr(kp)}")
     np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_mscale2_matches_jnp():
+    base = dict(in_features=2, hidden_features=40, hidden_layers=2,
+                out_features=3, scale=2.0, scale_tensor=(0.5, 4.0))
+    ref = get_inr("bspline_mscale_2", fused="never", **base)
+    fused = get_inr("bspline_mscale_2", fused="always", **base)
+    params = ref.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (600, 2)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(fused.apply(params, coords)),
+                               np.asarray(ref.apply(params, coords)),
+                               rtol=2e-5, atol=1e-5)
+    target = jnp.zeros((600, 3))
+    gr = jax.grad(lambda p: jnp.mean((ref.apply(p, coords) - target) ** 2))(
+        params)
+    gf = jax.grad(lambda p: jnp.mean((fused.apply(p, coords) - target) ** 2))(
+        params)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(gr)[0],
+                               jax.tree_util.tree_flatten_with_path(gf)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))

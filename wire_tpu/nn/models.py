@@ -697,8 +697,20 @@ def _mscale2_trunk(params, coords, spec, s):
 def mscale2_apply(params, coords, spec: INRSpec):
     # The whole trunk runs once per scale (bspline_mscale_2.py:159-172);
     # here the scales are vmapped so XLA batches the per-scale GEMMs.
-    scales = jnp.asarray(spec.scale_tensor, coords.dtype)
-    outs = jax.vmap(lambda s: _mscale2_trunk(params, coords, spec, s))(scales)
+    use, _ = _use_fused(spec)
+    if use:
+        per_scale = []
+        kinds = ("qspline",) * (spec.hidden_layers + 1)
+        for s in spec.scale_tensor:
+            canon = _canon_uniform(params, spec, "qspline", 1.0 / s,
+                                   lambda b, s=s: b / s)
+            per_scale.append(_fused_real(params, coords, spec, kinds,
+                                         canon))
+        outs = jnp.stack(per_scale)
+    else:
+        scales = jnp.asarray(spec.scale_tensor, coords.dtype)
+        outs = jax.vmap(lambda s: _mscale2_trunk(params, coords, spec,
+                                                 s))(scales)
     c = params["combiner"]
     mode = spec.combine_type
     if mode == "scale_weights":
