@@ -28,13 +28,14 @@ def base_parser(description):
     return p
 
 
-def load_image(path, size=512, channels=3, seed=0):
+def load_image(path, size=512, channels=3, seed=0, kind="natural"):
     if path:
         im = I.imread(path)
         if channels == 1 and im.ndim == 3:
             im = im[..., 1]
         return im.astype(np.float32)
-    im = I.synthetic_image(size, size, channels, seed=seed)
+    gen = I.natural_image if kind == "natural" else I.synthetic_image
+    im = gen(size, size, channels, seed=seed)
     return im[..., 0] if channels == 1 else im
 
 

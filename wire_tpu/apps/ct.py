@@ -36,7 +36,9 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
     H, W = img.shape
 
     thetas = np.linspace(0, 180, nmeas, dtype=np.float32)
-    sinogram = np.asarray(radon(jnp.asarray(img), jnp.asarray(thetas)))
+    # jit: eager complex FFT ops are unimplemented on some TPU backends
+    sinogram = np.asarray(jax.jit(
+        lambda x: radon(x, jnp.asarray(thetas)))(jnp.asarray(img)))
     rng = np.random.RandomState(seed)
     if cfg.added_noise:
         sinogram = N.measure_np(sinogram, cfg.noise_snr, cfg.tau,

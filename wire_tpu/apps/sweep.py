@@ -111,7 +111,9 @@ def sweep_ct(image=None, results_dir="results", seed=0, niters=5000,
     img = I.normalize(img, True).astype(np.float32)
     H, W = img.shape
     thetas = jnp.asarray(np.linspace(0, 180, nmeas, dtype=np.float32))
-    sinogram = np.asarray(radon(jnp.asarray(img), thetas))
+    # jit: eager complex FFT ops are unimplemented on some TPU backends
+    sinogram = np.asarray(jax.jit(lambda x: radon(x, thetas))(
+        jnp.asarray(img)))
     coords = C.grid2d(H, W)
 
     results = {}

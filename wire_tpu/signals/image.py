@@ -126,6 +126,34 @@ def synthetic_image(H=256, W=256, channels=3, seed=0):
     return normalize(im.astype(np.float32), True)
 
 
+def natural_image(H=512, W=512, channels=3, seed=0, beta=1.2):
+    """Random image with natural-image (1/f^beta) amplitude spectrum and a
+    few piecewise structures — a stand-in whose statistics are much closer
+    to photographs than ``synthetic_image`` (the reference's tuned
+    hyperparameters assume natural spectra)."""
+    rng = np.random.default_rng(seed)
+    fy = np.fft.fftfreq(H)[:, None]
+    fx = np.fft.fftfreq(W)[None, :]
+    radius = np.sqrt(fy * fy + fx * fx)
+    amp = 1.0 / np.maximum(radius, 1.0 / max(H, W)) ** beta
+    chans = []
+    base_phase = np.exp(2j * np.pi * rng.random((H, W)))
+    for c in range(channels):
+        phase = base_phase * np.exp(0.35j * 2 * np.pi * rng.random((H, W)))
+        spec = amp * phase
+        img = np.real(np.fft.ifft2(spec))
+        chans.append(img)
+    im = np.stack(chans, axis=-1).astype(np.float32)
+    # superpose a few sharp-edged regions (natural images have edges)
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    for _ in range(4):
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        r = rng.uniform(0.08, 0.25)
+        m = (((x / W - cx) ** 2 + (y / H - cy) ** 2) < r * r)
+        im[m] += rng.uniform(-0.25, 0.25, channels).astype(np.float32)
+    return normalize(im, True)
+
+
 def shepp_logan(N=256):
     """Shepp–Logan head phantom (standard analytic definition) for CT tests."""
     # (intensity, a, b, x0, y0, phi_degrees)

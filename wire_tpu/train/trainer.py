@@ -44,6 +44,11 @@ class FitConfig:
     # 'epoch': scheduler steps once per epoch (denoise scripts);
     # 'iter': once per optimizer step (CT/SISR full-grid scripts)
     schedule_per: str = "epoch"
+    # cap on scan length per device program: very long single programs can
+    # exceed remote-backend execution deadlines; the fit loops over segments
+    # carrying state (optimizer counts continue across segments, so results
+    # are identical)
+    scan_segment: int = 1000
 
 
 @dataclasses.dataclass
@@ -134,20 +139,33 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     nchunks = (npoints + mp - 1) // mp
     npad = nchunks * mp - npoints
 
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
     tx, run = _pointwise_program(
-        model, cfg, npoints, nchunks, mp, npad, track, tv_weight,
+        model, cfg, seg, npoints, nchunks, mp, npad, track, tv_weight,
         image_shape, epoch_metric, donate)
     opt_state = tx.init(params)
     key = jax.random.key(cfg.seed)
 
     # distinct buffers everywhere: donated args must not alias
     rec0 = jnp.zeros_like(target)
-    carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
-              jnp.zeros_like(target), jax.tree.map(jnp.copy, params))
+    carry = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
+             jnp.zeros_like(target), jax.tree.map(jnp.copy, params))
+    hists = []
     t0 = time.time()
-    carry, (mse_gt, mse_noisy, extra) = run(carry0, coords, target, gt_arr)
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        if this != seg:
+            _, run = _pointwise_program(
+                model, cfg, this, npoints, nchunks, mp, npad, track,
+                tv_weight, image_shape, epoch_metric, donate)
+        carry, hist = run(carry, coords, target, gt_arr)
+        hists.append(hist)
+        done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
+    mse_gt, mse_noisy, extra = (jnp.concatenate([h[i] for h in hists])
+                                for i in range(3))
     params, _, rec, _, best_mse, best_rec, best_params = carry
     res = FitResult(
         params=params, best_params=best_params,
@@ -264,10 +282,11 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
 _PROGRAMS: dict = {}
 
 
-def _pointwise_program(model, cfg: FitConfig, npoints, nchunks, mp, npad,
-                       track, tv_weight, image_shape, epoch_metric, donate):
-    cache_key = (model, cfg, npoints, nchunks, mp, npad, track, tv_weight,
-                 image_shape, epoch_metric, donate)
+def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
+                       npad, track, tv_weight, image_shape, epoch_metric,
+                       donate):
+    cache_key = (model, cfg, seg_len, npoints, nchunks, mp, npad, track,
+                 tv_weight, image_shape, epoch_metric, donate)
     hit = _PROGRAMS.get(cache_key)
     if hit is not None:
         return hit
@@ -346,7 +365,7 @@ def _pointwise_program(model, cfg: FitConfig, npoints, nchunks, mp, npad,
             return ((params, opt_state, rec, key, best_mse, best_rec,
                      best_params), (mse_gt, mse_noisy, extra))
 
-        return jax.lax.scan(epoch_body, carry, None, length=cfg.niters)
+        return jax.lax.scan(epoch_body, carry, None, length=seg_len)
 
     run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
     _PROGRAMS[cache_key] = (tx, run)
@@ -370,10 +389,12 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     gt_arr = measurement if gt_field is None else jnp.asarray(gt_field)
     cfg = dataclasses.replace(cfg, schedule_per="iter")
 
-    cache_key = (model, cfg, coords.shape, tuple(field_shape), operator_fn,
-                 track, has_gt, donate, "operator")
-    hit = _PROGRAMS.get(cache_key)
-    if hit is None:
+    def build(seg_len):
+        cache_key = (model, cfg, seg_len, coords.shape, tuple(field_shape),
+                     operator_fn, track, has_gt, donate, "operator")
+        hit = _PROGRAMS.get(cache_key)
+        if hit is not None:
+            return hit
         tx = make_optimizer(cfg, None, nchunks=1)
 
         def run_impl(carry, coords, measurement, gt_arr):
@@ -401,22 +422,35 @@ def fit_operator(model, params, coords, measurement, operator_fn,
                 return (params, opt_state, best_loss, best_field,
                         best_params), (loss, tracked)
 
-            return jax.lax.scan(step, carry, None, length=cfg.niters)
+            return jax.lax.scan(step, carry, None, length=seg_len)
 
         run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
         _PROGRAMS[cache_key] = (tx, run)
-    else:
-        tx, run = hit
+        return tx, run
 
+    # segment very long scans: one device program per <=scan_segment iters
+    # (identical numerics — optimizer step counts carry across segments)
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    tx, run = build(seg)
     opt_state = tx.init(params)
     field0 = jnp.zeros(field_shape, measurement.dtype)
-    carry0 = (params, opt_state, jnp.asarray(jnp.inf), field0,
-              jax.tree.map(jnp.copy, params))
+    carry = (params, opt_state, jnp.asarray(jnp.inf), field0,
+             jax.tree.map(jnp.copy, params))
+    loss_h, tracked_h = [], []
     t0 = time.time()
-    carry, (loss_hist, tracked_hist) = run(carry0, coords, measurement,
-                                           gt_arr)
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        if this != seg:
+            _, run = build(this)
+        carry, (lh, th) = run(carry, coords, measurement, gt_arr)
+        loss_h.append(lh)
+        tracked_h.append(th)
+        done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
+    loss_hist = jnp.concatenate(loss_h)
+    tracked_hist = jnp.concatenate(tracked_h)
     params, _, best_loss, best_field, best_params = carry
     return FitResult(
         params=params, best_params=best_params,
