@@ -45,10 +45,10 @@ class FitConfig:
     # 'iter': once per optimizer step (CT/SISR full-grid scripts)
     schedule_per: str = "epoch"
     # cap on scan length per device program: very long single programs can
-    # exceed remote-backend execution deadlines; the fit loops over segments
-    # carrying state (optimizer counts continue across segments, so results
-    # are identical)
-    scan_segment: int = 1000
+    # exceed remote-backend execution deadlines (observed ~2min limit on the
+    # tunneled backend); the fit loops over segments carrying state
+    # (optimizer counts continue across segments, so results are identical)
+    scan_segment: int = 250
 
 
 @dataclasses.dataclass
