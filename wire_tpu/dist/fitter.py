@@ -55,7 +55,8 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), shard)
     params = jax.device_put(params, repl)
 
-    cache_key = (model, cfg, mesh, npoints, coords.shape[-1],
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
                  target.shape[-1], track, donate)
     cached = _PROGRAMS.get(cache_key)
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
@@ -110,10 +111,15 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
     pspec_carry = (P(), P(), P(axis), P(), P(), P(axis), P())
 
-    if cached is None:
+    def build(seg_len):
+        key2 = cache_key + (seg_len,)
+        hit = _PROGRAMS.get(key2)
+        if hit is not None:
+            return hit
+
         def run_sharded(carry, lc, lt, lgt):
             body = partial(epoch_body_local, lc=lc, lt=lt, lgt=lgt)
-            return jax.lax.scan(body, carry, None, length=cfg.niters)
+            return jax.lax.scan(body, carry, None, length=seg_len)
 
         shard_run = jax.shard_map(
             run_sharded, mesh=mesh,
@@ -121,18 +127,30 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
             out_specs=(pspec_carry, (P(), P())),
             check_vma=False)
         run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
-        _PROGRAMS[cache_key] = run
-    else:
-        run = cached
+        _PROGRAMS[key2] = run
+        return run
+
+    run = build(seg)
 
     rec0 = jax.device_put(jnp.zeros_like(target), shard)
     best_rec0 = jax.device_put(jnp.zeros_like(target), shard)
     carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
               best_rec0, jax.tree.map(jnp.copy, params))
     t0 = time.time()
-    carry, (mse_gt, mse_noisy) = run(carry0, coords, target, gt_arr)
+    carry = carry0
+    gts, noisys = [], []
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        r = run if this == seg else build(this)
+        carry, (mg, mn) = r(carry, coords, target, gt_arr)
+        gts.append(mg)
+        noisys.append(mn)
+        done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
+    mse_gt = jnp.concatenate(gts)
+    mse_noisy = jnp.concatenate(noisys)
     params, _, rec, _, best_mse, best_rec, best_params = carry
     return FitResult(
         params=params, best_params=best_params,

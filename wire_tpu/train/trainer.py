@@ -206,13 +206,20 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
     nbatches = (nframes + bs - 1) // bs
     npad = nbatches * bs - nframes
 
-    cache_key = (model, cfg, frame_coords.shape, frame_pixels.shape,
-                 tuple(hr_shape), scale, bs, donate, "frames")
-    hit = _PROGRAMS.get(cache_key)
-    if hit is None:
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+
+    def build_frames(seg_len):
+        cache_key = (model, cfg, seg_len, frame_coords.shape,
+                     frame_pixels.shape, tuple(hr_shape), scale, bs, donate,
+                     "frames")
+        hit = _PROGRAMS.get(cache_key)
+        if hit is not None:
+            return hit
         tx = make_optimizer(cfg, None, nchunks=nbatches)
 
         def run_impl(carry, frame_coords, frame_pixels, frame_masks):
+            carry, key0 = carry
+            carry = (carry, key0)
             def batch_loss(p, fidx):
                 valid = (fidx < nframes).astype(frame_pixels.dtype)
                 safe = jnp.minimum(fidx, nframes - 1)
@@ -249,24 +256,32 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
                 inner, losses = jax.lax.scan(step, inner, order)
                 return (inner, key), jnp.sum(losses)
 
-            (inner, _), mse_hist = jax.lax.scan(
-                epoch, (carry, jax.random.key(cfg.seed)), None,
-                length=cfg.niters)
-            return inner, mse_hist
+            (inner, key2), mse_hist = jax.lax.scan(
+                epoch, carry, None, length=seg_len)
+            return (inner, key2), mse_hist
 
         run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
         _PROGRAMS[cache_key] = (tx, run)
-    else:
-        tx, run = hit
+        return tx, run
 
+    tx, run = build_frames(seg)
     opt_state = tx.init(params)
-    carry0 = (params, opt_state, jnp.asarray(jnp.inf),
-              jax.tree.map(jnp.copy, params))
+    carry = ((params, opt_state, jnp.asarray(jnp.inf),
+              jax.tree.map(jnp.copy, params)), jax.random.key(cfg.seed))
+    hists = []
     t0 = time.time()
-    (params_f, _, best_loss, best_params), mse_hist = run(
-        carry0, frame_coords, frame_pixels, frame_masks)
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        if this != seg:
+            _, run = build_frames(this)
+        carry, h = run(carry, frame_coords, frame_pixels, frame_masks)
+        hists.append(h)
+        done += this
+    (params_f, _, best_loss, best_params), _key = carry
     jax.block_until_ready(best_loss)
     wall = time.time() - t0
+    mse_hist = jnp.concatenate(hists)
     return FitResult(
         params=params_f, best_params=best_params, best_rec=None,
         final_rec=None, mse_gt=np.asarray(mse_hist),
