@@ -65,8 +65,13 @@ def test_forward_parity(nonlin, kw, _):
     y_ref = tb.torch_forward(ref, coords)
     y = np.asarray(model.apply(jax.tree.map(jnp.asarray, params),
                                jnp.asarray(coords)))
-    np.testing.assert_allclose(y, y_ref.reshape(y.shape), rtol=2e-4,
-                               atol=2e-5)
+    # wire2d's exp(-sigma^2(|lin|^2+|orth|^2)) amplifies f32 matmul
+    # summation-order jitter multiplicatively (rel err ~ 2 sigma^2 |lin| dz),
+    # which makes the tight tolerance flaky under varying XLA CPU thread
+    # scheduling; everything else stays at the tight bound.
+    rtol, atol = (2e-3, 1e-4) if nonlin == "wire2d" else (2e-4, 2e-5)
+    np.testing.assert_allclose(y, y_ref.reshape(y.shape), rtol=rtol,
+                               atol=atol)
 
 
 @pytest.mark.parametrize("nonlin,kw,_", CASES, ids=[c[0] for c in CASES])
