@@ -41,19 +41,33 @@ CASES = [
                               scale=2.0, scale_tensor=(0.5, 4.0)), {}),
     ("bspline_mscale_hier", dict(first_omega0=-0.2, hidden_omega0=-0.2,
                                  scale=2.0, scale_tensor=(0.5, 4.0)), {}),
+    ("bspline_knots", dict(first_omega0=-0.2, hidden_omega0=-0.2,
+                           scale=0.5), {}),
+    ("bspline_srelu", dict(first_omega0=-0.2, hidden_omega0=-0.2,
+                           scale=2.0), {}),
+    # the reference sig forward picks ONE sigmoid branch from the sign of the
+    # first sample's first coordinate and applies it to the whole batch
+    # (bspline_sig.py:32-37); ours selects per element (the intended
+    # behavior).  With all first coordinates positive both agree exactly, so
+    # parity is tested on that domain.
+    ("bspline_sig", dict(first_omega0=-0.2, hidden_omega0=-0.2,
+                         scale=2.0), {"positive_first": True}),
 ]
 
 HID = 64
 LAYERS = 2
 
 
-def _coords(n=257, d=2):
+def _coords(n=257, d=2, positive_first=False):
     rng = np.random.default_rng(3)
-    return rng.uniform(-1, 1, size=(1, n, d)).astype(np.float32)
+    c = rng.uniform(-1, 1, size=(1, n, d)).astype(np.float32)
+    if positive_first:
+        c[..., 0] = np.abs(c[..., 0])
+    return c
 
 
-@pytest.mark.parametrize("nonlin,kw,_", CASES, ids=[c[0] for c in CASES])
-def test_forward_parity(nonlin, kw, _):
+@pytest.mark.parametrize("nonlin,kw,opt", CASES, ids=[c[0] for c in CASES])
+def test_forward_parity(nonlin, kw, opt):
     base = dict(in_features=2, hidden_features=HID, hidden_layers=LAYERS,
                 out_features=3)
     base.update(kw)
@@ -61,7 +75,8 @@ def test_forward_parity(nonlin, kw, _):
     params = tb.params_from_ref(nonlin, ref, LAYERS)
     model = get_inr(nonlin, **base)
     coords = _coords(d=base["in_features"] if nonlin not in
-                     ("bspline_mscale_repIN",) else 2)
+                     ("bspline_mscale_repIN",) else 2,
+                     positive_first=opt.get("positive_first", False))
     y_ref = tb.torch_forward(ref, coords)
     y = np.asarray(model.apply(jax.tree.map(jnp.asarray, params),
                                jnp.asarray(coords)))
@@ -74,8 +89,8 @@ def test_forward_parity(nonlin, kw, _):
                                atol=atol)
 
 
-@pytest.mark.parametrize("nonlin,kw,_", CASES, ids=[c[0] for c in CASES])
-def test_coord_grad_parity(nonlin, kw, _):
+@pytest.mark.parametrize("nonlin,kw,opt", CASES, ids=[c[0] for c in CASES])
+def test_coord_grad_parity(nonlin, kw, opt):
     if nonlin == "posenc":
         pytest.skip("posenc: reference positional encoding not differentiable"
                     " wrt coords in a comparable way (concat order identical;"
@@ -87,7 +102,8 @@ def test_coord_grad_parity(nonlin, kw, _):
     params = tb.params_from_ref(nonlin, ref, LAYERS)
     model = get_inr(nonlin, **base)
     coords = _coords(n=65, d=base["in_features"] if nonlin not in
-                     ("bspline_mscale_repIN",) else 2)
+                     ("bspline_mscale_repIN",) else 2,
+                     positive_first=opt.get("positive_first", False))
     jparams = jax.tree.map(jnp.asarray, params)
 
     def f(c):

@@ -114,6 +114,26 @@ def make_ref_model(nonlin, **kw):
                                      kw["out_features"], True,
                                      kw["first_omega0"], kw["hidden_omega0"],
                                      kw["scale"])
+        if nonlin == "bspline_knots":
+            from modules.bspline_imp import bspline_knots
+            return bspline_knots.INR(kw["in_features"],
+                                     kw["hidden_features"],
+                                     kw["hidden_layers"], kw["out_features"],
+                                     True, kw["first_omega0"],
+                                     kw["hidden_omega0"], kw["scale"])
+        if nonlin == "bspline_srelu":
+            from modules.bspline_imp import bspline_srelu
+            return bspline_srelu.INR(kw["in_features"],
+                                     kw["hidden_features"],
+                                     kw["hidden_layers"], kw["out_features"],
+                                     True, kw["first_omega0"],
+                                     kw["hidden_omega0"], kw["scale"])
+        if nonlin == "bspline_sig":
+            from modules.bspline_imp import bspline_sig
+            return bspline_sig.INR(kw["in_features"], kw["hidden_features"],
+                                   kw["hidden_layers"], kw["out_features"],
+                                   True, kw["first_omega0"],
+                                   kw["hidden_omega0"], kw["scale"])
         if nonlin == "bspline_mscale_1":
             from modules import bspline_mscale_1
             return bspline_mscale_1.INR(
@@ -175,7 +195,8 @@ def params_from_ref(nonlin, model, hidden_layers):
         p["final"] = _clin(model.net[-1])
         return p
     if nonlin in ("siren", "gauss", "relu", "posenc", "bspline_form",
-                  "bspline_cubic", "bspline_mscale_repIN"):
+                  "bspline_cubic", "bspline_mscale_repIN", "bspline_knots",
+                  "bspline_srelu", "bspline_sig"):
         p = {"first": _lin(model.net[0].linear)}
         for i in range(hidden_layers):
             p[f"hidden_{i}"] = _lin(model.net[1 + i].linear)
