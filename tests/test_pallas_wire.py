@@ -56,6 +56,38 @@ def test_fused_grads_match_jnp():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_gemm_precision_highest_matches_jnp():
+    """gemm_precision='highest' (true f32 multi-pass matmuls) matches the
+    jnp reference path tightly, forward and gradient; the plumbing is the
+    same one that selects the MXU default path on TPU."""
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=64, hidden_layers=2, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=4.0)
+    params = model.init(jax.random.key(3))
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.uniform(-1, 1, (600, 2)).astype(np.float32))
+    ref = model.apply(params, coords)
+    spec_hi = model.spec.replace(gemm_precision="highest")
+    fused = wire_mlp_fused(params, coords, spec_hi, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=5e-6)
+
+    target = jnp.asarray(rng.uniform(0, 1, (600, 3)).astype(np.float32))
+
+    def loss_hi(p):
+        return jnp.mean((wire_mlp_fused(p, coords, spec_hi, interpret=True)
+                         - target) ** 2)
+
+    def loss_ref(p):
+        return jnp.mean((model.apply(p, coords) - target) ** 2)
+
+    g_hi = jax.grad(loss_hi)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_hi)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_fused_handles_unaligned_batch():
     model = get_inr("wire", in_features=3, out_features=1,
                     hidden_features=40, hidden_layers=2, first_omega0=5.0,

@@ -64,6 +64,11 @@ class INRSpec:
     # on TPU backends, 'never' forces the jnp path, 'always' forces the
     # kernel — with interpret mode off-TPU, for debugging only)
     fused: str = "auto"
+    # MXU matmul precision inside the fused kernels. 'default' = XLA's
+    # default TPU matmul path (bf16 operand truncation, f32 accumulation —
+    # the numerics all published PSNR-parity runs used); 'highest' = true
+    # f32 multi-pass matmuls (exact f32 semantics, slower on TPU).
+    gemm_precision: str = "default"
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

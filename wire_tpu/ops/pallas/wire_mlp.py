@@ -72,39 +72,63 @@ def _gabor(zr, zi, omega0, sigma0):
     return m * jnp.cos(ph), m * jnp.sin(ph)
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _make_dot(precision):
+    """MXU dot accumulating in f32.  precision='default' uses the MXU's
+    native path (on TPU this truncates f32 inputs to bf16 — XLA's default
+    matmul precision; measured bitwise-identical to an explicit bf16 cast on
+    v5e); 'highest' forces full-f32 multi-pass matmuls for exact f32
+    semantics (CPU-parity debugging, slower on TPU)."""
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    def _dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+    return _dot
 
 
-def _forward_tile(c, w, L, omega0, sigma0, first_omega0):
-    """Shared forward recurrence on one coordinate tile; returns activations
-    per layer (for the backward's recompute) and the real output."""
+def _forward_tile(c, w, L, omega0, sigma0, first_omega0, _dot):
+    """Shared forward recurrence on one coordinate tile.  Returns, per layer,
+    the pre-activations AND the transcendental factors (m=exp(...),
+    cos, sin) so the backward kernel reuses them instead of re-evaluating
+    exp/cos/sin on the VPU a second time."""
+    s2 = sigma0 * sigma0
     z1 = _dot(c, w["w1"]) + w["b1"]
-    ar, ai = _gabor_first(z1, first_omega0, sigma0)
-    acts = [(z1, ar, ai)]
+    m = jnp.exp(-s2 * (z1 * z1))
+    ph = first_omega0 * z1
+    cos, sin = jnp.cos(ph), jnp.sin(ph)
+    ar, ai = m * cos, m * sin
+    acts = [(z1, m, cos, sin)]
     for i in range(L):
         zr = _dot(ar, w[f"h{i}wr"]) - _dot(ai, w[f"h{i}wi"]) + w[f"h{i}br"]
         zi = _dot(ar, w[f"h{i}wi"]) + _dot(ai, w[f"h{i}wr"]) + w[f"h{i}bi"]
-        ar, ai = _gabor(zr, zi, omega0, sigma0)
-        acts.append((zr, zi, ar, ai))
+        m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
+        ph = omega0 * zr
+        cos, sin = jnp.cos(ph), jnp.sin(ph)
+        ar, ai = m * cos, m * sin
+        acts.append((zr, zi, m, cos, sin))
     yr = _dot(ar, w["fwr"]) - _dot(ai, w["fwi"]) + w["fbr"]
     return acts, yr
 
 
-def _make_fwd_kernel(L, omega0, sigma0, first_omega0, names):
+def _make_fwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
+    _dot = _make_dot(precision)
+
     def kernel(*refs):
         c_ref = refs[0]
         w = {nm: refs[1 + k] for k, nm in enumerate(names)}
         out_ref = refs[1 + len(names)]
         wv = {nm: w[nm][:] for nm in names}
-        _, yr = _forward_tile(c_ref[:], wv, L, omega0, sigma0, first_omega0)
+        _, yr = _forward_tile(c_ref[:], wv, L, omega0, sigma0, first_omega0,
+                              _dot)
         out_ref[:] = yr
     return kernel
 
 
-def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
+def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
     """Recompute forward, backprop, accumulate weight grads across the
     sequential grid; also emits dcoords."""
+    _dot = _make_dot(precision)
 
     def kernel(*refs):
         c_ref = refs[0]
@@ -117,7 +141,7 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
         i = pl.program_id(0)
 
         c = c_ref[:]
-        acts, _ = _forward_tile(c, w, L, omega0, sigma0, first_omega0)
+        acts, _ = _forward_tile(c, w, L, omega0, sigma0, first_omega0, _dot)
         g = g_ref[:]
 
         def acc(nm, val):
@@ -131,7 +155,8 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
 
         s2 = sigma0 * sigma0
         # final layer: yr = ar@fwr - ai@fwi + fbr
-        _, _, ar, ai = acts[-1]
+        zr, zi, m, cos, sin = acts[-1]
+        ar, ai = m * cos, m * sin
         acc("fwr", _dot(ar.T, g))
         acc("fwi", -_dot(ai.T, g))
         acc("fbr", jnp.sum(g, axis=0, keepdims=True))
@@ -139,21 +164,19 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
         dai = -_dot(g, w["fwi"].T)
 
         for li in range(L - 1, -1, -1):
-            zr, zi, _, _ = acts[li + 1]
             # a = m * (cos ph, sin ph), m = exp(-w*zi - s2(zr^2+zi^2)),
-            # ph = w*zr
-            m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
-            ph = omega0 * zr
-            cos, sin = jnp.cos(ph), jnp.sin(ph)
+            # ph = w*zr — m/cos/sin reused from the forward recurrence
+            zr, zi, m, cos, sin = acts[li + 1]
             dm = dar * cos + dai * sin
             dph = m * (-dar * sin + dai * cos)
             dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
             dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
             # z = a_prev (complex) @ W (complex) + b
             if li == 0:
-                _, par, pai = acts[0]
+                _, pm, pcos, psin = acts[0]
             else:
-                _, _, par, pai = acts[li]
+                _, _, pm, pcos, psin = acts[li]
+            par, pai = pm * pcos, pm * psin
             acc(f"h{li}wr", _dot(par.T, dzr) + _dot(pai.T, dzi))
             acc(f"h{li}wi", _dot(par.T, dzi) - _dot(pai.T, dzr))
             acc(f"h{li}br", jnp.sum(dzr, axis=0, keepdims=True))
@@ -163,10 +186,7 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
 
         # first layer: z1 real; a = (exp(-s2 z^2) cos(w0 z),
         #                            exp(-s2 z^2) sin(w0 z))
-        z1, _, _ = acts[0]
-        m = jnp.exp(-s2 * z1 * z1)
-        ph = first_omega0 * z1
-        cos, sin = jnp.cos(ph), jnp.sin(ph)
+        z1, m, cos, sin = acts[0]
         dz = (dar * (m * (-2.0 * s2 * z1) * cos - m * first_omega0 * sin)
               + dai * (m * (-2.0 * s2 * z1) * sin + m * first_omega0 * cos))
         acc("w1", _dot(c.T, dz))
@@ -178,7 +198,7 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names):
 
 @functools.lru_cache(maxsize=32)
 def _programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
-              interpret):
+              interpret, precision="default"):
     hp = _round_up(h, 128)
     op = _round_up(max(o, 1), 128)
     names = ["w1", "b1"]
@@ -201,7 +221,7 @@ def _programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
                             memory_space=pltpu.VMEM)
 
     fwd = pl.pallas_call(
-        _make_fwd_kernel(L, omega0, sigma0, first_omega0, names),
+        _make_fwd_kernel(L, omega0, sigma0, first_omega0, names, precision),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
@@ -213,7 +233,7 @@ def _programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
     )
 
     bwd = pl.pallas_call(
-        _make_bwd_kernel(L, omega0, sigma0, first_omega0, names),
+        _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -239,15 +259,16 @@ def _flatten_for_kernel(params, L, hp, op):
     return padded, d, h, o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _wire_fused(params, coords, L, omega0, sigma0, first_omega0, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _wire_fused(params, coords, L, omega0, sigma0, first_omega0, interpret,
+                precision):
     out, _ = _wire_fused_fwd(params, coords, L, omega0, sigma0,
-                             first_omega0, interpret)
+                             first_omega0, interpret, precision)
     return out
 
 
 def _wire_fused_fwd(params, coords, L, omega0, sigma0, first_omega0,
-                    interpret):
+                    interpret, precision):
     n, d = coords.shape
     h = params["first"]["w"].shape[1]
     o = params["final"]["br"].shape[0]
@@ -257,14 +278,15 @@ def _wire_fused_fwd(params, coords, L, omega0, sigma0, first_omega0,
     n_tiles = n_pad // TILE_N
     fwd, _, names, hp, op = _programs(L, float(omega0), float(sigma0),
                                       float(first_omega0), d, h, o, TILE_N,
-                                      n_tiles, interpret)
+                                      n_tiles, interpret, precision)
     padded, _, _, _ = _pad_params(params, L, hp, op)
     cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     out = fwd(cpad, *[padded[nm] for nm in names])
     return out[:n, :o], (params, coords)
 
 
-def _wire_fused_bwd(L, omega0, sigma0, first_omega0, interpret, res, g):
+def _wire_fused_bwd(L, omega0, sigma0, first_omega0, interpret, precision,
+                    res, g):
     params, coords = res
     n, d = coords.shape
     h = params["first"]["w"].shape[1]
@@ -275,7 +297,7 @@ def _wire_fused_bwd(L, omega0, sigma0, first_omega0, interpret, res, g):
     n_tiles = n_pad // TILE_N
     _, bwd, names, hp, op = _programs(L, float(omega0), float(sigma0),
                                       float(first_omega0), d, h, o, TILE_N,
-                                      n_tiles, interpret)
+                                      n_tiles, interpret, precision)
     padded, _, _, _ = _pad_params(params, L, hp, op)
     cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     gpad = jnp.pad(g, ((0, n_pad - n), (0, op - o)))
@@ -307,5 +329,6 @@ def wire_mlp_fused(params, coords, spec, interpret=False):
     lead = coords.shape[:-1]
     c2 = coords.reshape(-1, coords.shape[-1])
     out = _wire_fused(params, c2, spec.hidden_layers, float(spec.hidden_omega0),
-                      float(spec.scale), float(spec.first_omega0), interpret)
+                      float(spec.scale), float(spec.first_omega0), interpret,
+                      getattr(spec, "gemm_precision", "default"))
     return out.reshape(*lead, out.shape[-1])
