@@ -52,6 +52,43 @@ def test_sharded_minibatch_converges():
     assert np.count_nonzero(res.final_rec) == res.final_rec.size
 
 
+def test_global_perm_minibatch_matches_single_device_exactly():
+    """global_perm=True reproduces the single-device trainer's minibatch
+    COMPOSITION (same key stream, same chunks), so the whole stochastic
+    trajectory matches to float-reduction order — the strongest equivalence
+    the sharded fitter offers (SURVEY.md §7 hard part 4)."""
+    model, params, coords, target = _setup(H=32, W=32, hidden=32)
+    # 4 chunks of 256, so every epoch takes 4 distinct stochastic steps
+    cfg = FitConfig(learning_rate=5e-3, niters=8, maxpoints=256)
+    res1 = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                         target, cfg, track="noisy", donate=False)
+    mesh = make_mesh(8)
+    res8 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target, cfg, mesh, track="noisy",
+                                 donate=False, global_perm=True)
+    np.testing.assert_allclose(res8.mse_noisy, res1.mse_noisy, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(res1.params),
+                    jax.tree.leaves(res8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+    np.testing.assert_allclose(res8.final_rec, res1.final_rec, atol=2e-4)
+    np.testing.assert_allclose(res8.best_rec, res1.best_rec, atol=2e-4)
+
+
+def test_global_perm_with_remainder_chunk():
+    """npad > 0 path: sentinel indices mask out, counts psum correctly."""
+    model, params, coords, target = _setup(H=24, W=24, hidden=32)
+    # 576 points, maxpoints 512 -> chunks of 512 with a 448-pad remainder
+    cfg = FitConfig(learning_rate=5e-3, niters=6, maxpoints=512)
+    res1 = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                         target, cfg, track="noisy", donate=False)
+    mesh = make_mesh(8)
+    res8 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target, cfg, mesh, track="noisy",
+                                 donate=False, global_perm=True)
+    np.testing.assert_allclose(res8.mse_noisy, res1.mse_noisy, rtol=2e-4)
+    np.testing.assert_allclose(res8.final_rec, res1.final_rec, atol=2e-4)
+
+
 def test_sharded_on_subset_mesh():
     model, params, coords, target = _setup(H=16, W=16)
     cfg = FitConfig(learning_rate=5e-3, niters=5, maxpoints=64)

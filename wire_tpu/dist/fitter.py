@@ -31,12 +31,31 @@ from wire_tpu.train.trainer import (FitConfig, FitResult, make_optimizer,
 
 
 def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
-                          mesh: Mesh, *, gt=None, track="gt", donate=True):
+                          mesh: Mesh, *, gt=None, track="gt", donate=True,
+                          global_perm=False):
     """Sharded counterpart of train.trainer.fit_pointwise.
 
     Requires npoints divisible by the mesh size (pad upstream if needed) —
     shards must be equal for pmean-of-means to equal the global mean.
+
+    global_perm=False (default, scalable): coords/target are sharded over
+    the mesh and each device permutes its local shard — no global index
+    array anywhere.  Minibatch composition differs from the single-device
+    trainer (statistically equivalent; exactly equivalent for full batches).
+
+    global_perm=True (exact): coords/target are REPLICATED, every device
+    draws the SAME epoch permutation from the same key stream as
+    train.trainer.fit_pointwise and takes its slice of each global chunk, so
+    minibatch composition — and hence the whole optimization trajectory —
+    matches the single-device trainer to float-reduction order.  Gradients
+    combine by psum of partial sums over the global valid count; the
+    reconstruction buffer merges by a psum of disjoint scatters per chunk
+    (one buffer-sized collective per chunk: use for image-scale signals, not
+    volumes).
     """
+    if global_perm:
+        return _fit_global_perm(model, params, coords, target, cfg, mesh,
+                                gt=gt, track=track, donate=donate)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     npoints = coords.shape[0]
@@ -58,10 +77,7 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
                  target.shape[-1], track, donate)
-    cached = _PROGRAMS.get(cache_key)
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
-    opt_state = jax.device_put(tx.init(params), repl)
-    key = jax.random.key(cfg.seed)
 
     def epoch_body_local(carry, _, *, lc, lt, lgt):
         """Runs per device under shard_map: lc/lt (local_n, ...)."""
@@ -110,6 +126,108 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
                  best_params), (mse_gt, mse_noisy))
 
     pspec_carry = (P(), P(), P(axis), P(), P(), P(axis), P())
+    return _drive(model, cfg, mesh, cache_key, pspec_carry,
+                  epoch_body_local, coords, target, gt_arr, params, tx,
+                  donate, shard)
+
+
+def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
+                     mesh: Mesh, *, gt, track, donate):
+    """Exact-composition sharded fit: replicated data, one shared epoch
+    permutation (the single-device trainer's key stream), each device takes
+    its slice of every global chunk.  Gradient = psum of partial sums over
+    the global valid count; reconstruction merges disjoint scatters by psum.
+    Trajectory matches train.trainer.fit_pointwise to reduction order."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    npoints = coords.shape[0]
+    mp = min(cfg.maxpoints, npoints)
+    nchunks = (npoints + mp - 1) // mp
+    npad = nchunks * mp - npoints
+    if mp % ndev:
+        raise ValueError(f"chunk size {mp} not divisible by mesh size "
+                         f"{ndev}; adjust maxpoints")
+    mp_local = mp // ndev
+
+    repl = NamedSharding(mesh, P())
+    coords = jax.device_put(jnp.asarray(coords), repl)
+    target = jax.device_put(jnp.asarray(target), repl)
+    gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), repl)
+    params = jax.device_put(params, repl)
+
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
+                 target.shape[-1], track, donate, "global_perm")
+    tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
+
+    def epoch_body(carry, _, *, lc, lt, lgt):
+        params, opt_state, rec, key, best_mse, best_rec, best_params = carry
+        key, sub = jax.random.split(key)           # same stream as trainer
+        perm = jax.random.permutation(sub, npoints)
+        if npad:
+            perm = jnp.concatenate(
+                [perm, jnp.full((npad,), npoints, perm.dtype)])
+        perm = perm.reshape(nchunks, ndev, mp_local)
+        dev = jax.lax.axis_index(axis)
+
+        def chunk_loss(p, idx):
+            valid = (idx < npoints)
+            safe = jnp.minimum(idx, npoints - 1)
+            pred = model.apply(p, lc[safe])
+            w = valid.astype(pred.dtype)[:, None]
+            cnt = jax.lax.psum(jnp.sum(w), axis)
+            # partial of the GLOBAL chunk masked mean; psum(grads) completes
+            # the sum — identical value to the single-device chunk loss
+            partial = (jnp.sum(w * (pred - lt[safe]) ** 2)
+                       / (cnt * pred.shape[-1]))
+            return partial, pred
+
+        def chunk_body(inner, idx_all):
+            params, opt_state, rec = inner
+            idx = jax.lax.dynamic_index_in_dim(idx_all, dev, 0,
+                                               keepdims=False)
+            (_, pred), grads = jax.value_and_grad(
+                chunk_loss, has_aux=True)(params, idx)
+            grads = jax.lax.psum(grads, axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # per-chunk indices are disjoint across devices: merge the
+            # scatters with one psum, overwrite touched rows only
+            delta = jnp.zeros_like(rec).at[idx].set(pred, mode="drop")
+            mask = jnp.zeros((npoints,), rec.dtype).at[idx].set(
+                1.0, mode="drop")
+            delta = jax.lax.psum(delta, axis)
+            mask = jax.lax.psum(mask, axis)[:, None]
+            rec = rec * (1.0 - mask) + delta
+            return (params, opt_state, rec), 0.0
+
+        (params, opt_state, rec), _ = jax.lax.scan(
+            chunk_body, (params, opt_state, rec), perm)
+
+        mse_noisy = jnp.mean((lt - rec) ** 2)
+        mse_gt = jnp.mean((lgt - rec) ** 2)
+        tracked = mse_gt if track == "gt" else mse_noisy
+        is_best = tracked < best_mse
+        best_mse = jnp.where(is_best, tracked, best_mse)
+        best_rec = jnp.where(is_best, rec, best_rec)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        return ((params, opt_state, rec, key, best_mse, best_rec,
+                 best_params), (mse_gt, mse_noisy))
+
+    pspec_carry = (P(),) * 7
+    return _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body,
+                  coords, target, gt_arr, params, tx, donate, repl)
+
+def _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body, coords,
+           target, gt_arr, params, tx, donate, rec_sharding):
+    """Shared shard_map driver: builds (and caches) the jitted segmented
+    scan program for an epoch body and runs it to cfg.niters."""
+    data_pspec = rec_sharding.spec
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    opt_state = jax.device_put(tx.init(params),
+                               NamedSharding(mesh, P()))
+    key = jax.random.key(cfg.seed)
 
     def build(seg_len):
         key2 = cache_key + (seg_len,)
@@ -118,12 +236,12 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
             return hit
 
         def run_sharded(carry, lc, lt, lgt):
-            body = partial(epoch_body_local, lc=lc, lt=lt, lgt=lgt)
+            body = partial(epoch_body, lc=lc, lt=lt, lgt=lgt)
             return jax.lax.scan(body, carry, None, length=seg_len)
 
         shard_run = jax.shard_map(
             run_sharded, mesh=mesh,
-            in_specs=(pspec_carry, P(axis), P(axis), P(axis)),
+            in_specs=(pspec_carry, data_pspec, data_pspec, data_pspec),
             out_specs=(pspec_carry, (P(), P())),
             check_vma=False)
         run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
@@ -132,8 +250,8 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
     run = build(seg)
 
-    rec0 = jax.device_put(jnp.zeros_like(target), shard)
-    best_rec0 = jax.device_put(jnp.zeros_like(target), shard)
+    rec0 = jax.device_put(jnp.zeros_like(target), rec_sharding)
+    best_rec0 = jax.device_put(jnp.zeros_like(target), rec_sharding)
     carry0 = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
               best_rec0, jax.tree.map(jnp.copy, params))
     t0 = time.time()
