@@ -88,25 +88,19 @@ def _make_dot(precision):
 
 
 def _forward_tile(c, w, L, omega0, sigma0, first_omega0, _dot):
-    """Shared forward recurrence on one coordinate tile.  Returns, per layer,
-    the pre-activations AND the transcendental factors (m=exp(...),
-    cos, sin) so the backward kernel reuses them instead of re-evaluating
-    exp/cos/sin on the VPU a second time."""
-    s2 = sigma0 * sigma0
+    """Shared forward recurrence on one coordinate tile.  Stores ONLY the
+    pre-activations (z1, then (zr, zi) per hidden layer): the backward
+    recomputes the Gabor factors per layer on the VPU, which measures free
+    (the kernel is MXU-bound) and keeps the live VMEM set small enough for
+    large coordinate tiles."""
     z1 = _dot(c, w["w1"]) + w["b1"]
-    m = jnp.exp(-s2 * (z1 * z1))
-    ph = first_omega0 * z1
-    cos, sin = jnp.cos(ph), jnp.sin(ph)
-    ar, ai = m * cos, m * sin
-    acts = [(z1, m, cos, sin)]
+    ar, ai = _gabor_first(z1, first_omega0, sigma0)
+    acts = [z1]
     for i in range(L):
         zr = _dot(ar, w[f"h{i}wr"]) - _dot(ai, w[f"h{i}wi"]) + w[f"h{i}br"]
         zi = _dot(ar, w[f"h{i}wi"]) + _dot(ai, w[f"h{i}wr"]) + w[f"h{i}bi"]
-        m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
-        ph = omega0 * zr
-        cos, sin = jnp.cos(ph), jnp.sin(ph)
-        ar, ai = m * cos, m * sin
-        acts.append((zr, zi, m, cos, sin))
+        ar, ai = _gabor(zr, zi, omega0, sigma0)
+        acts.append((zr, zi))
     yr = _dot(ar, w["fwr"]) - _dot(ai, w["fwi"]) + w["fbr"]
     return acts, yr
 
@@ -154,8 +148,21 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
                 dacc[nm][:] += val
 
         s2 = sigma0 * sigma0
+        z1 = acts[0]
+
+        def factors(li):
+            """Gabor factors of layer li's activation (0 = first layer)."""
+            if li == 0:
+                m = jnp.exp(-s2 * (z1 * z1))
+                ph = first_omega0 * z1
+            else:
+                zr, zi = acts[li]
+                m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
+                ph = omega0 * zr
+            return m, jnp.cos(ph), jnp.sin(ph)
+
         # final layer: yr = ar@fwr - ai@fwi + fbr
-        zr, zi, m, cos, sin = acts[-1]
+        m, cos, sin = factors(L)
         ar, ai = m * cos, m * sin
         acc("fwr", _dot(ar.T, g))
         acc("fwi", -_dot(ai.T, g))
@@ -165,17 +172,15 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
 
         for li in range(L - 1, -1, -1):
             # a = m * (cos ph, sin ph), m = exp(-w*zi - s2(zr^2+zi^2)),
-            # ph = w*zr — m/cos/sin reused from the forward recurrence
-            zr, zi, m, cos, sin = acts[li + 1]
+            # ph = w*zr
+            zr, zi = acts[li + 1]
+            m, cos, sin = factors(li + 1)
             dm = dar * cos + dai * sin
             dph = m * (-dar * sin + dai * cos)
             dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
             dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
             # z = a_prev (complex) @ W (complex) + b
-            if li == 0:
-                _, pm, pcos, psin = acts[0]
-            else:
-                _, _, pm, pcos, psin = acts[li]
+            pm, pcos, psin = factors(li)
             par, pai = pm * pcos, pm * psin
             acc(f"h{li}wr", _dot(par.T, dzr) + _dot(pai.T, dzi))
             acc(f"h{li}wi", _dot(par.T, dzi) - _dot(pai.T, dzr))
@@ -186,7 +191,7 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
 
         # first layer: z1 real; a = (exp(-s2 z^2) cos(w0 z),
         #                            exp(-s2 z^2) sin(w0 z))
-        z1, m, cos, sin = acts[0]
+        m, cos, sin = factors(0)
         dz = (dar * (m * (-2.0 * s2 * z1) * cos - m * first_omega0 * sin)
               + dai * (m * (-2.0 * s2 * z1) * sin + m * first_omega0 * cos))
         acc("w1", _dot(c.T, dz))
@@ -230,6 +235,9 @@ def _programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     bwd = pl.pallas_call(
@@ -247,6 +255,12 @@ def _programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
                   + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
                      for nm in names],
         interpret=interpret,
+        # the weight-grad accumulators are revisited every grid step, so the
+        # grid is sequential ("arbitrary"); raise the scoped-VMEM cap to
+        # allow large coordinate tiles (v5e has 128MiB VMEM)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
     return fwd, bwd, names, hp, op
 
