@@ -84,7 +84,20 @@ def _make_dot(precision):
     def _dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=prec)
-    return _dot
+
+    def _dot_tn(a, b):
+        # a.T @ b without materializing the transpose: contract dim 0 of
+        # both operands (the MXU consumes this directly)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+
+    def _dot_nt(a, b):
+        # a @ b.T: contract dim 1 of both operands
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+    return _dot, _dot_tn, _dot_nt
 
 
 def _forward_tile(c, w, L, omega0, sigma0, first_omega0, _dot):
@@ -106,7 +119,7 @@ def _forward_tile(c, w, L, omega0, sigma0, first_omega0, _dot):
 
 
 def _make_fwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
-    _dot = _make_dot(precision)
+    _dot, _, _ = _make_dot(precision)
 
     def kernel(*refs):
         c_ref = refs[0]
@@ -122,7 +135,7 @@ def _make_fwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
 def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
     """Recompute forward, backprop, accumulate weight grads across the
     sequential grid; also emits dcoords."""
-    _dot = _make_dot(precision)
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
 
     def kernel(*refs):
         c_ref = refs[0]
@@ -164,11 +177,11 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
         # final layer: yr = ar@fwr - ai@fwi + fbr
         m, cos, sin = factors(L)
         ar, ai = m * cos, m * sin
-        acc("fwr", _dot(ar.T, g))
-        acc("fwi", -_dot(ai.T, g))
+        acc("fwr", _dot_tn(ar, g))
+        acc("fwi", -_dot_tn(ai, g))
         acc("fbr", jnp.sum(g, axis=0, keepdims=True))
-        dar = _dot(g, w["fwr"].T)
-        dai = -_dot(g, w["fwi"].T)
+        dar = _dot_nt(g, w["fwr"])
+        dai = -_dot_nt(g, w["fwi"])
 
         for li in range(L - 1, -1, -1):
             # a = m * (cos ph, sin ph), m = exp(-w*zi - s2(zr^2+zi^2)),
@@ -182,21 +195,21 @@ def _make_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision):
             # z = a_prev (complex) @ W (complex) + b
             pm, pcos, psin = factors(li)
             par, pai = pm * pcos, pm * psin
-            acc(f"h{li}wr", _dot(par.T, dzr) + _dot(pai.T, dzi))
-            acc(f"h{li}wi", _dot(par.T, dzi) - _dot(pai.T, dzr))
+            acc(f"h{li}wr", _dot_tn(par, dzr) + _dot_tn(pai, dzi))
+            acc(f"h{li}wi", _dot_tn(par, dzi) - _dot_tn(pai, dzr))
             acc(f"h{li}br", jnp.sum(dzr, axis=0, keepdims=True))
             acc(f"h{li}bi", jnp.sum(dzi, axis=0, keepdims=True))
-            dar = (_dot(dzr, w[f"h{li}wr"].T) + _dot(dzi, w[f"h{li}wi"].T))
-            dai = (-_dot(dzr, w[f"h{li}wi"].T) + _dot(dzi, w[f"h{li}wr"].T))
+            dar = (_dot_nt(dzr, w[f"h{li}wr"]) + _dot_nt(dzi, w[f"h{li}wi"]))
+            dai = (-_dot_nt(dzr, w[f"h{li}wi"]) + _dot_nt(dzi, w[f"h{li}wr"]))
 
         # first layer: z1 real; a = (exp(-s2 z^2) cos(w0 z),
         #                            exp(-s2 z^2) sin(w0 z))
         m, cos, sin = factors(0)
         dz = (dar * (m * (-2.0 * s2 * z1) * cos - m * first_omega0 * sin)
               + dai * (m * (-2.0 * s2 * z1) * sin + m * first_omega0 * cos))
-        acc("w1", _dot(c.T, dz))
+        acc("w1", _dot_tn(c, dz))
         acc("b1", jnp.sum(dz, axis=0, keepdims=True))
-        dc_ref[:] = _dot(dz, w["w1"].T)
+        dc_ref[:] = _dot_nt(dz, w["w1"])
 
     return kernel
 
