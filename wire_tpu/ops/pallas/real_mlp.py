@@ -105,6 +105,18 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot_tn(a, b):
+    # a.T @ b without materializing the transpose (contract dim 0 of both)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    # a @ b.T (contract dim 1 of both)
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds):
     a = c
     acts = []
@@ -163,9 +175,9 @@ def _make_bwd_kernel(L, kinds):
                                   wf, refs[3 + 3 * L][:], kinds)
         g = g_ref[:]
         a_last = acts[-1][1]
-        acc(dwf_ref, _dot(a_last.T, g))
+        acc(dwf_ref, _dot_tn(a_last, g))
         acc(dbf_ref, jnp.sum(g, axis=0, keepdims=True))
-        da = _dot(g, wf.T)
+        da = _dot_nt(g, wf)
         for li in range(L - 1, -1, -1):
             z, _ = acts[li]
             _, dB = _basis(kinds[li])
@@ -175,8 +187,8 @@ def _make_bwd_kernel(L, kinds):
             acc(dals[li], jnp.sum(z * dv, axis=0, keepdims=True))
             acc(dbes[li], jnp.sum(dv, axis=0, keepdims=True))
             a_prev = c if li == 0 else acts[li - 1][1]
-            acc(dws[li], _dot(a_prev.T, dz))
-            da = _dot(dz, ws[li].T)
+            acc(dws[li], _dot_tn(a_prev, dz))
+            da = _dot_nt(dz, ws[li])
         dc_ref[:] = da
     return kernel
 
@@ -218,6 +230,9 @@ def _programs(kinds, widths, out_dim, n_tiles, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, op), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     out_specs = [pl.BlockSpec((TILE_N, dp), lambda i: (i, 0),
@@ -246,6 +261,11 @@ def _programs(kinds, widths, out_dim, n_tiles, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        # grad accumulators revisit output blocks every grid step: the grid
+        # must execute sequentially
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
     return fwd, bwd, wp, op
 
