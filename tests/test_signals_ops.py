@@ -164,3 +164,46 @@ def test_radon_shear_gradient_is_adjoint():
     lhs = float(f(x))
     rhs = float(jnp.sum(x * g))
     assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+
+def test_radon_fourier_matches_rotate_for_interior_content():
+    """Projection-slice Radon agrees with the rotate oracle on a smooth
+    interior-supported phantom to Fourier-bilinear interpolation error."""
+    H = W = 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    c = (H - 1) / 2
+    im = np.zeros((H, W), np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        cx, cy = rng.uniform(0.3, 0.7, 2) * H
+        s = rng.uniform(4, 10)
+        im += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    r = np.sqrt((xx - c) ** 2 + (yy - c) ** 2) / (0.45 * H)
+    im = (im * np.clip(1 - r, 0, 1) ** 0.5).astype(np.float32)
+    angles = jnp.linspace(0, 180, 24)
+    s_rot = np.asarray(radon_fn(jnp.asarray(im), angles, method="rotate"))
+    s_f = np.asarray(radon_fn(jnp.asarray(im), angles, method="fourier"))
+    scale = np.abs(s_rot).max()
+    assert np.abs(s_rot - s_f).max() / scale < 0.02
+    rel = np.linalg.norm(s_rot - s_f) / np.linalg.norm(s_rot)
+    assert rel < 0.01, rel
+    # the on-axis angles are sampled on-grid: exact up to fp error
+    for row, ang in ((0, 0.0), (-1, 180.0)):
+        np.testing.assert_allclose(s_f[row], s_rot[row], rtol=1e-3,
+                                   atol=1e-4 * scale)
+
+
+def test_radon_fourier_gradient_is_adjoint():
+    H = W = 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((25, W)).astype(np.float32))
+    angles = jnp.linspace(0, 180, 25)
+
+    def f(img):
+        return jnp.sum(radon_fn(img, angles, method="fourier") * s)
+
+    g = jax.grad(f)(x)
+    lhs = float(f(x))
+    rhs = float(jnp.sum(x * g))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-4

@@ -5,7 +5,13 @@
   convention, zero padding) then row sum.  Gather-based — precise, fast on
   CPU, but TPU gathers make it ~2.7ms/angle.
 
-- ``method='shear'`` (default on TPU): FFT three-shear rotation.  Each
+- ``method='fourier'`` (default on TPU for >=24 angles): projection-slice
+  theorem — one oversampled 2D FFT of the image, bilinear sampling of the
+  spectrum along each angle's central slice, one small 1D iFFT per angle.
+  O(P^2 log P) total vs the shear path's per-angle FFTs.
+
+- ``method='shear'`` (default on TPU for few angles): FFT three-shear
+  rotation.  Each
   rotation is decomposed into a 90-degree-multiple pre-rotation (exact
   transpose/flip) plus a residual in [-45, 45] degrees applied as three
   per-row/column fractional translations, each a Fourier phase multiply —
@@ -30,9 +36,18 @@ from wire_tpu.ops.resample import rotate
 
 def radon(img, angles_degrees, *, method="auto", checkpoint=True):
     """img: (H, W) image; angles: (nangles,) degrees.
-    Returns (nangles, W) sinogram = sum over rows of each rotated image."""
+    Returns (nangles, W) sinogram = sum over rows of each rotated image.
+
+    method='auto': rotate on CPU (the parity oracle); on TPU, 'fourier' for
+    many-angle fans (its one-FFT cost amortizes; 2.6x faster fwd+bwd and
+    8.7x forward-only vs 'shear' at 512^2 x 100 angles on v5e) and 'shear'
+    for few angles."""
     if method == "auto":
-        method = "shear" if jax.default_backend() == "tpu" else "rotate"
+        if jax.default_backend() == "tpu":
+            method = "fourier" if np.shape(angles_degrees)[0] >= 24 else \
+                "shear"
+        else:
+            method = "rotate"
     if method == "rotate":
         def project(angle):
             return jnp.sum(rotate(img, angle), axis=0)
@@ -41,6 +56,8 @@ def radon(img, angles_degrees, *, method="auto", checkpoint=True):
         return jax.vmap(project)(jnp.asarray(angles_degrees))
     if method == "shear":
         return _radon_shear(img, jnp.asarray(angles_degrees))
+    if method == "fourier":
+        return _radon_fourier(img, jnp.asarray(angles_degrees))
     raise ValueError(method)
 
 
@@ -84,6 +101,71 @@ def _shear_y(im, tx):
     k = jnp.fft.rfftfreq(im.shape[0]).astype(im.dtype)
     phase = jnp.exp(-2j * jnp.pi * k[:, None] * tx[None, :])
     return jnp.fft.irfft(F * phase, n=im.shape[0], axis=0).astype(im.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fourier-slice path (central-slice theorem)
+# ---------------------------------------------------------------------------
+
+def _radon_fourier(img, angles_degrees, oversample=4):
+    """Radon via the projection-slice theorem: ONE 2D FFT of the (padded)
+    image, bilinear sampling of the spectrum along each angle's central
+    slice, then a 1D inverse FFT per angle.  O(P^2 log P + nangles*P) vs the
+    shear path's O(nangles * P^2 log P) — the fast choice when nangles is
+    large.  Interpolation differs from rotate/shear (Fourier-domain bilinear
+    with `oversample`x zero-padding); all paths agree on interior-supported
+    content to interpolation error.  Linear in img, so gradients are exact.
+    """
+    H, W = img.shape
+    S = max(H, W)
+    P = _fft_size(oversample * S)
+    py0 = (P - H) // 2
+    px0 = (P - W) // 2
+    pad = jnp.zeros((P, P), img.dtype)
+    pad = pad.at[py0:py0 + H, px0:px0 + W].set(img)
+
+    # full 2D DFT; phase-center it so the sampled function is smooth
+    # (centering at the rotate() convention's (P-1)/2 pixel center)
+    F = jnp.fft.fftn(pad)
+    c = (P - 1) / 2.0
+    fy = jnp.fft.fftfreq(P).astype(img.dtype)
+    fx = jnp.fft.fftfreq(P).astype(img.dtype)
+    F = F * jnp.exp(2j * jnp.pi * (fy[:, None] + fx[None, :]) * c)
+
+    # projection of the theta-rotated image onto x = slice of F along the
+    # direction the x-axis maps FROM under the inverse rotation.
+    # rotate() uses dst(y,x) = src(R_phi (y,x)) with screen-CCW phi;
+    # sum over y of dst -> slice at (ky, kx) = kx * (sin, cos)(-theta)
+    theta = jnp.deg2rad(angles_degrees.astype(img.dtype))
+    kx = jnp.fft.rfftfreq(P).astype(img.dtype)          # (K,)
+    dir_y = jnp.sin(theta)
+    dir_x = jnp.cos(theta)
+    sy = kx[None, :] * dir_y[:, None]                   # (A, K) in cycles/px
+    sx = kx[None, :] * dir_x[:, None]
+
+    # bilinear interpolation on the periodic DFT grid (frequencies are
+    # cycles/pixel in [-0.5, 0.5); grid index = freq * P mod P)
+    gy = (sy * P) % P
+    gx = (sx * P) % P
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0).astype(img.dtype)
+    wx = (gx - x0).astype(img.dtype)
+    y0 = y0.astype(jnp.int32) % P
+    x0 = x0.astype(jnp.int32) % P
+    y1 = (y0 + 1) % P
+    x1 = (x0 + 1) % P
+    v00 = F[y0, x0]
+    v01 = F[y0, x1]
+    v10 = F[y1, x0]
+    v11 = F[y1, x1]
+    slice_hat = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+                 + wy * ((1 - wx) * v10 + wx * v11))
+
+    # back to the spatial projection; undo the centering phase along x
+    slice_hat = slice_hat * jnp.exp(-2j * jnp.pi * kx * c)[None, :]
+    proj = jnp.fft.irfft(slice_hat, n=P, axis=1).astype(img.dtype)
+    return proj[:, px0:px0 + W]
 
 
 def _radon_shear(img, angles_degrees):

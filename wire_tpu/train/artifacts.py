@@ -53,7 +53,10 @@ def tabulate_results(mat_file, path):
         values = mat[n][0, 0]
         for key in values.dtype.names:
             v = values[key]
-            if isinstance(v[0], (list, np.ndarray)) and v.size > 1:
+            if v.size == 0:
+                # e.g. an empty scale_tensor on single-scale presets
+                data[key].append([])
+            elif isinstance(v[0], (list, np.ndarray)) and v.size > 1:
                 data[key].append(np.asarray(v[0]).tolist())
             else:
                 data[key].append(np.asarray(v).ravel()[0])
