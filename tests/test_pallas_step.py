@@ -1,0 +1,102 @@
+"""One-pass fused train-step kernel (ops/pallas/wire_step.py) vs autodiff
+of the jnp WIRE path (interpret mode on CPU): predictions, parameter
+gradients, tail-padding masks, and the trainer integration contract."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+from wire_tpu.ops.pallas.wire_step import wire_step_fused
+
+
+def _setup(n=700, h=64, layers=2, out=3, seed=0):
+    model = get_inr("wire", in_features=2, out_features=out,
+                    hidden_features=int(h * np.sqrt(2)) + 1,
+                    hidden_layers=layers, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=8.0)
+    params = model.init(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (n, out)).astype(np.float32))
+    return model, params, coords, target
+
+
+def _ref_step(model, params, coords, target, nvalid=None, denom=None):
+    spec = dataclasses.replace(model.spec, fused="never")
+    n, c = target.shape
+    dn = float(n * c) if denom is None else denom
+
+    def loss_fn(p):
+        from wire_tpu.nn.models import wire_apply
+        pred = wire_apply(p, coords, spec)
+        err = pred - target
+        if nvalid is not None:
+            err = err * (jnp.arange(n)[:, None] < nvalid)
+        return jnp.sum(err * err) / dn, pred
+
+    (_, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return pred, grads
+
+
+def _assert_tree_close(got, want, rtol=2e-4, atol=1e-6):
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(want)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(got)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=rtol,
+                                   atol=atol, err_msg=str(ka))
+
+
+@pytest.mark.parametrize("n,h,layers,out", [(700, 64, 2, 3), (512, 64, 1, 1),
+                                            (100, 212, 2, 3)])
+def test_step_matches_autodiff(n, h, layers, out):
+    model, params, coords, target = _setup(n, h, layers, out)
+    pred_ref, g_ref = _ref_step(model, params, coords, target)
+    pred, g = wire_step_fused(params, coords, target, model.spec,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-5, atol=5e-6)
+    _assert_tree_close(g, g_ref)
+
+
+def test_step_tail_mask_and_denom():
+    """Sentinel rows past nvalid contribute exactly zero gradient, and a
+    traced nvalid/denom (the trainer's chunk-scan case) is honored."""
+    model, params, coords, target = _setup(n=640)
+    nvalid, denom = 500, 500 * 3.0
+    pred_ref, g_ref = _ref_step(model, params, coords, target, nvalid, denom)
+    pred, g = jax.jit(lambda p, c, t, nv, dn: wire_step_fused(
+        p, c, t, model.spec, nvalid=nv, denom=dn, interpret=True))(
+            params, coords, target, jnp.asarray(nvalid),
+            jnp.asarray(denom, jnp.float32))
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-5, atol=5e-6)
+    _assert_tree_close(g, g_ref)
+
+    # garbage in the masked tail must not leak into the gradients
+    t2 = target.at[nvalid:].set(1e6)
+    c2 = coords.at[nvalid:].set(0.123)
+    _, g2 = wire_step_fused(params, c2, t2, model.spec,
+                            nvalid=jnp.asarray(nvalid),
+                            denom=jnp.asarray(denom, jnp.float32),
+                            interpret=True)
+    _assert_tree_close(g2, g_ref)
+
+
+def test_step_grads_method_dispatch():
+    """INR.step_grads: fused='always' runs the kernel (interpret off-TPU),
+    the default CPU path falls back to autodiff — both agree."""
+    model, params, coords, target = _setup(n=300)
+    pred_fb, g_fb = model.step_grads(params, coords, target)
+
+    fused_model = get_inr("wire", in_features=2, out_features=3,
+                          hidden_features=model.spec.hidden_features,
+                          hidden_layers=2, first_omega0=7.0,
+                          hidden_omega0=7.0, scale=8.0, fused="always")
+    pred_k, g_k = fused_model.step_grads(params, coords, target)
+    np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_fb),
+                               rtol=2e-5, atol=5e-6)
+    _assert_tree_close(g_k, g_fb)

@@ -81,24 +81,54 @@ class INR:
     Hashable on (spec, fn identities) so jitted training programs can be
     cached across fits of the same architecture."""
 
-    def __init__(self, spec: INRSpec, init_fn, apply_fn):
+    def __init__(self, spec: INRSpec, init_fn, apply_fn, step_fn=None):
         self.spec = spec
         self._init = init_fn
         self._apply = apply_fn
+        self._step = step_fn
 
     def __hash__(self):
-        return hash((self.spec, self._init, self._apply))
+        return hash((self.spec, self._init, self._apply, self._step))
 
     def __eq__(self, other):
         return (isinstance(other, INR) and self.spec == other.spec
                 and self._init is other._init
-                and self._apply is other._apply)
+                and self._apply is other._apply
+                and self._step is other._step)
 
     def init(self, key):
         return self._init(key, self.spec)
 
     def apply(self, params, coords, **kw):
         return self._apply(params, coords, self.spec, **kw)
+
+    def step_grads(self, params, coords, target, *, nvalid=None, denom=None):
+        """(pred, dparams) of ``loss = sum_{rows<nvalid}(pred-t)^2 / denom``
+        — the trainer's per-step unit.  Families with a one-pass fused
+        train-step kernel (WIRE) run fwd + loss-grad + bwd in a single
+        Pallas call; everything else falls back to autodiff of ``apply``.
+        Invalid (padding) rows, if any, must be contiguous at the tail.
+
+        nvalid defaults to n, denom to n*c (plain mean MSE); both may be
+        traced scalars."""
+        if self._step is not None:
+            out = self._step(params, coords, target, self.spec,
+                             nvalid=nvalid, denom=denom)
+            if out is not None:
+                return out
+        n, c = target.shape
+        dn = float(n * c) if denom is None else denom
+
+        def loss_fn(p):
+            pred = self._apply(p, coords, self.spec)
+            err = pred - target
+            if nvalid is not None:
+                mask = (jnp.arange(n)[:, None] < nvalid).astype(pred.dtype)
+                err = err * mask
+            return jnp.sum(err * err) / dn, pred
+
+        (_, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return pred, grads
 
     def num_params(self, params):
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -143,6 +173,21 @@ def wire_apply(params, coords, spec: INRSpec):
         xr, xi = act.complex_gabor(zr, zi, spec.hidden_omega0, spec.scale)
     yr, _ = complex_linear(params["final"], xr, xi)
     return yr  # output.real (wire.py:164-165)
+
+
+def wire_step(params, coords, target, spec: INRSpec, *, nvalid=None,
+              denom=None):
+    """Dispatch to the one-pass fused train-step kernel
+    (ops/pallas/wire_step.py) when the fused path applies; returns None
+    otherwise so INR.step_grads falls back to autodiff of wire_apply."""
+    if spec.fused != "never" and spec.dtype == jnp.float32:
+        on_tpu = jax.default_backend() == "tpu"
+        if spec.fused == "always" or on_tpu:
+            from wire_tpu.ops.pallas.wire_step import wire_step_fused
+            return wire_step_fused(params, coords, target, spec,
+                                   nvalid=nvalid, denom=denom,
+                                   interpret=not on_tpu)
+    return None
 
 
 # ===========================================================================

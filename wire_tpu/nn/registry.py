@@ -35,6 +35,13 @@ MODEL_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
     "bspline_mscale_hier": (M.mscale_hier_init, M.mscale_hier_apply),
 }
 
+# Families with a one-pass fused train-step kernel (fwd + MSE loss-grad +
+# bwd in a single Pallas call — see ops/pallas/wire_step.py).  Everything
+# else trains through autodiff of its apply fn.
+STEP_REGISTRY: Dict[str, Callable] = {
+    "wire": M.wire_step,
+}
+
 # Default (first_omega0, hidden_omega0, scale) per family, matching each
 # reference module's __init__ defaults.
 _FAMILY_DEFAULTS = {
@@ -73,4 +80,4 @@ def get_inr(nonlin: str, **kwargs) -> INR:
         kw["scale_tensor"] = tuple(float(s) for s in kw["scale_tensor"])
     spec = INRSpec(nonlin=nonlin, **kw)
     init_fn, apply_fn = MODEL_REGISTRY[nonlin]
-    return INR(spec, init_fn, apply_fn)
+    return INR(spec, init_fn, apply_fn, step_fn=STEP_REGISTRY.get(nonlin))

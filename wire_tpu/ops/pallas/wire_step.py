@@ -1,0 +1,268 @@
+"""One-pass fused TRAIN-STEP Pallas kernel for the WIRE complex-Gabor MLP.
+
+The separate fwd/bwd kernel pair in wire_mlp.py pays the forward twice per
+training step: once to produce predictions and once recomputed inside the
+backward (the custom-VJP residual strategy).  A training step, however, is
+a single fusable computation:
+
+    y = f(params, coords);  dL/dy = 2·mask·(y - target)/denom;  dparams
+
+so this kernel does all three in ONE Pallas call per coordinate tile: the
+forward's pre-activations stay live in VMEM when the backward starts (no
+recompute, no HBM residual traffic), the MSE loss-gradient is computed
+in-kernel from the target tile, and weight gradients accumulate across the
+sequential grid.  dcoords is not emitted (training never uses it), which
+also drops the first-layer data-grad GEMM.
+
+Complex GEMMs use the STACKED layout: a complex matmul
+(ar + i·ai) @ (wr + i·wi) is four (h, h) real GEMMs, but stacking
+A = [ar | ai] (n, 2h) against W = [[wr, wi], [-wi, wr]] (2h, 2h) computes
+the same MACs in ONE MXU contraction with doubled M/K — fewer, larger
+GEMMs keep the systolic array pipeline full (measured ~3% over the
+4-GEMM form, on top of the ~25% FLOP cut from skipping the recompute).
+
+Loss semantics (matching train/trainer.py's chunk_loss exactly):
+
+    loss = sum_{rows < nvalid} (y - t)^2 / denom
+
+with the invalid (permutation-padding sentinel) rows contiguous at the
+tail — the trainer constructs them that way (perm padding appends
+sentinels, so they land at the end of the last chunk).
+
+This is the hot path of the reference's training loops
+(wire_image_denoise.py:142-178, SURVEY.md §3.1): one full fwd+bwd over a
+65K-coordinate minibatch of a 3-layer complex-Gabor MLP per step.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wire_tpu.ops.pallas.wire_mlp import (_gabor, _gabor_first, _make_dot,
+                                          _round_up)
+
+TILE_N = 512
+
+
+def _pad_params_stacked(params, L, hp, op):
+    """Stacked, lane-padded weights.
+
+    Per hidden layer one (2hp, 2hp) block matrix [[wr, wi], [-wi, wr]] so
+    [ar|ai] @ W = [ar@wr - ai@wi | ar@wi + ai@wr]; the final layer keeps
+    only the real output: fW = [fwr; -fwi] (2hp, op).  Zero padding is
+    exact for the same reason as wire_mlp._pad_params: padded activation
+    lanes meet zero consumer-weight rows.
+    """
+    h = params["first"]["w"].shape[1]
+    d = params["first"]["w"].shape[0]
+    o = params["final"]["br"].shape[0]
+    out = {
+        "w1": jnp.pad(params["first"]["w"], ((0, 0), (0, hp - h))),
+        "b1": jnp.pad(params["first"]["b"], (0, hp - h))[None, :],
+    }
+    for i in range(L):
+        p = params[f"hidden_{i}"]
+        wr = jnp.pad(p["wr"], ((0, hp - h), (0, hp - h)))
+        wi = jnp.pad(p["wi"], ((0, hp - h), (0, hp - h)))
+        out[f"h{i}W"] = jnp.concatenate(
+            [jnp.concatenate([wr, wi], axis=1),
+             jnp.concatenate([-wi, wr], axis=1)], axis=0)
+        out[f"h{i}B"] = jnp.concatenate(
+            [jnp.pad(p["br"], (0, hp - h)),
+             jnp.pad(p["bi"], (0, hp - h))])[None, :]
+    f = params["final"]
+    out["fW"] = jnp.concatenate(
+        [jnp.pad(f["wr"], ((0, hp - h), (0, op - o))),
+         jnp.pad(-f["wi"], ((0, hp - h), (0, op - o)))], axis=0)
+    out["fb"] = jnp.pad(f["br"], (0, op - o))[None, :]
+    return out, d, h, o
+
+
+def _unstack_grads(dw, params, L, h, hp, o):
+    """Map stacked-layout weight grads back to the params pytree.
+
+    For G = d(loss)/d(h{i}W): W's four blocks alias wr (twice) and ±wi, so
+    dwr = G[:h,:h] + G[hp:hp+h, hp:hp+h] and dwi = G[:h, hp:] - G[hp:, :h].
+    fW rows [0:hp] = fwr and [hp:] = -fwi, so dfwi = -G[hp:].  dfinal.bi=0
+    because the model discards the imaginary output (wire.py:164-165).
+    """
+    dparams = {
+        "first": {"w": dw["w1"][:, :h], "b": dw["b1"][0, :h]},
+        "final": {"wr": dw["fW"][:h, :o],
+                  "wi": -dw["fW"][hp:hp + h, :o],
+                  "br": dw["fb"][0, :o],
+                  "bi": jnp.zeros_like(params["final"]["bi"])},
+    }
+    for i in range(L):
+        G = dw[f"h{i}W"]
+        B = dw[f"h{i}B"][0]
+        dparams[f"hidden_{i}"] = {
+            "wr": G[:h, :h] + G[hp:hp + h, hp:hp + h],
+            "wi": G[:h, hp:hp + h] - G[hp:hp + h, :h],
+            "br": B[:h], "bi": B[hp:hp + h]}
+    return dparams
+
+
+def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                      tile_n, hp):
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
+    s2 = sigma0 * sigma0
+
+    def kernel(*refs):
+        c_ref, t_ref, nv_ref, invd_ref = refs[:4]
+        w = {nm: refs[4 + k][:] for k, nm in enumerate(names)}
+        outs = refs[4 + len(names):]
+        y_ref = outs[0]
+        dacc = {nm: outs[1 + k] for k, nm in enumerate(names)}
+        i = pl.program_id(0)
+
+        # ---- forward, keeping (pre-activation, gabor factors) live ------
+        c = c_ref[:]
+        z1 = _dot(c, w["w1"]) + w["b1"]
+        m0 = jnp.exp(-s2 * (z1 * z1))
+        cos0, sin0 = jnp.cos(first_omega0 * z1), jnp.sin(first_omega0 * z1)
+        a = jnp.concatenate([m0 * cos0, m0 * sin0], axis=1)
+        live = []          # per hidden layer: (a_in, zr, zi, m, cos, sin)
+        for li in range(L):
+            z = _dot(a, w[f"h{li}W"]) + w[f"h{li}B"]
+            zr, zi = z[:, :hp], z[:, hp:]
+            m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
+            cos, sin = jnp.cos(omega0 * zr), jnp.sin(omega0 * zr)
+            live.append((a, zr, zi, m, cos, sin))
+            a = jnp.concatenate([m * cos, m * sin], axis=1)
+        y = _dot(a, w["fW"]) + w["fb"]
+        y_ref[:] = y
+
+        # ---- in-kernel MSE loss-gradient ---------------------------------
+        # rows >= nvalid are permutation-padding sentinels (always tail-
+        # contiguous); their gradient contribution must be exactly zero.
+        rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (tile_n, 1), 0)
+        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
+        g = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+
+        # ---- backward on the live activations ----------------------------
+        def acc(nm, val):
+            @pl.when(i == 0)
+            def _():
+                dacc[nm][:] = val
+
+            @pl.when(i != 0)
+            def _():
+                dacc[nm][:] += val
+
+        acc("fW", _dot_tn(a, g))
+        acc("fb", jnp.sum(g, axis=0, keepdims=True))
+        da = _dot_nt(g, w["fW"])
+
+        for li in range(L - 1, -1, -1):
+            a_in, zr, zi, m, cos, sin = live[li]
+            dar, dai = da[:, :hp], da[:, hp:]
+            dm = dar * cos + dai * sin
+            dph = m * (-dar * sin + dai * cos)
+            dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
+            dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
+            dz = jnp.concatenate([dzr, dzi], axis=1)
+            acc(f"h{li}W", _dot_tn(a_in, dz))
+            acc(f"h{li}B", jnp.sum(dz, axis=0, keepdims=True))
+            da = _dot_nt(dz, w[f"h{li}W"])
+
+        dar, dai = da[:, :hp], da[:, hp:]
+        dz1 = (dar * (m0 * (-2.0 * s2 * z1) * cos0 - m0 * first_omega0 * sin0)
+               + dai * (m0 * (-2.0 * s2 * z1) * sin0
+                        + m0 * first_omega0 * cos0))
+        acc("w1", _dot_tn(c, dz1))
+        acc("b1", jnp.sum(dz1, axis=0, keepdims=True))
+        # no dcoords: training never differentiates w.r.t. the grid
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
+                  interpret, precision="default"):
+    hp = _round_up(h, 128)
+    op = _round_up(max(o, 1), 128)
+    names = ["w1", "b1"]
+    for i in range(L):
+        names += [f"h{i}W", f"h{i}B"]
+    names += ["fW", "fb"]
+    shapes = {"w1": (d, hp), "b1": (1, hp), "fW": (2 * hp, op),
+              "fb": (1, op)}
+    for i in range(L):
+        shapes[f"h{i}W"] = (2 * hp, 2 * hp)
+        shapes[f"h{i}B"] = (1, 2 * hp)
+
+    def wspec(nm):
+        s = shapes[nm]
+        zeros = (0,) * len(s)
+        return pl.BlockSpec(s, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    step = pl.pallas_call(
+        _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                          tile_n, hp),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_n, op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  sspec(), sspec()]
+                 + [wspec(nm) for nm in names],
+        out_specs=[pl.BlockSpec((tile_n, op), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+                  + [wspec(nm) for nm in names],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
+                     for nm in names],
+        interpret=interpret,
+        # weight-grad accumulators are revisited every grid step -> the grid
+        # must execute sequentially ("arbitrary")
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return step, names, hp, op
+
+
+def wire_step_fused(params, coords, target, spec, *, nvalid=None,
+                    denom=None, interpret=False):
+    """One fused train step: returns (pred, dparams) for
+
+        loss = sum_{rows < nvalid} (pred - target)^2 / denom
+
+    coords (n, d), target (n, c).  nvalid defaults to n, denom to n*c
+    (plain mean-MSE).  Both may be traced scalars (the trainer's chunk
+    scan passes a data-dependent nvalid).  pred is returned for ALL rows
+    (sentinel rows render coords as given; callers drop them).
+    """
+    n, d = coords.shape
+    h = params["first"]["w"].shape[1]
+    o = params["final"]["br"].shape[0]
+    L = spec.hidden_layers
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    step, names, hp, op = _step_program(
+        L, float(spec.hidden_omega0), float(spec.scale),
+        float(spec.first_omega0), d, h, o, TILE_N, n_tiles, interpret,
+        getattr(spec, "gemm_precision", "default"))
+    padded, _, _, _ = _pad_params_stacked(params, L, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    tpad = jnp.pad(target, ((0, n_pad - n), (0, op - o)))
+    nv = jnp.full((1, 1), n, jnp.int32) if nvalid is None else \
+        jnp.asarray(nvalid, jnp.int32).reshape(1, 1)
+    dn = jnp.asarray(float(n * o) if denom is None else denom,
+                     jnp.float32).reshape(1, 1)
+    invd = 1.0 / dn
+    outs = step(cpad, tpad, nv, invd, *[padded[nm] for nm in names])
+    pred = outs[0][:n, :o]
+    dw = {nm: outs[1 + k] for k, nm in enumerate(names)}
+    return pred, _unstack_grads(dw, params, L, h, hp, o)

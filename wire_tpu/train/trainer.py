@@ -338,13 +338,21 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
             return loss, pred
 
         full_batch = (nchunks == 1 and npad == 0)
+        # the fused one-pass train-step (model.step_grads) covers the plain
+        # masked-MSE loss; TV regularization needs autodiff over the full
+        # render, so it keeps the value_and_grad path
+        use_step = (tv_weight == 0.0)
 
         def epoch_body(carry, _):
             (params, opt_state, rec, key, best_mse, best_rec,
              best_params) = carry
             if full_batch:
-                (loss, pred), grads = jax.value_and_grad(
-                    full_batch_loss, has_aux=True)(params)
+                if use_step:
+                    pred, grads = model.step_grads(params, coords, target)
+                    loss = jnp.mean((pred - target) ** 2)
+                else:
+                    (loss, pred), grads = jax.value_and_grad(
+                        full_batch_loss, has_aux=True)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 rec = pred
@@ -358,8 +366,23 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
 
                 def chunk_body(inner, idx):
                     params, opt_state, rec = inner
-                    (loss, pred), grads = jax.value_and_grad(
-                        chunk_loss, has_aux=True)(params, idx)
+                    if use_step:
+                        # sentinel (== npoints) indices are tail-contiguous
+                        # by construction of perm above
+                        nvalid = jnp.sum(idx < npoints)
+                        safe = jnp.minimum(idx, npoints - 1)
+                        denom = (nvalid.astype(jnp.float32)
+                                 * target.shape[-1])
+                        pred, grads = model.step_grads(
+                            params, coords[safe], target[safe],
+                            nvalid=nvalid, denom=denom)
+                        mask = (jnp.arange(mp)[:, None]
+                                < nvalid).astype(pred.dtype)
+                        err = (pred - target[safe]) * mask
+                        loss = jnp.sum(err * err) / denom
+                    else:
+                        (loss, pred), grads = jax.value_and_grad(
+                            chunk_loss, has_aux=True)(params, idx)
                     updates, opt_state = tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
                     rec = rec.at[idx].set(pred, mode="drop")
