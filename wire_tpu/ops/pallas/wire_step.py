@@ -45,7 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 from wire_tpu.ops.pallas.wire_mlp import (_gabor, _gabor_first, _make_dot,
                                           _round_up)
 
-TILE_N = 512
+# Coordinate rows per grid step.  Swept on v5e at the headline config
+# (65536 coords, h=212->256): 256/512/1024/2048 -> 15.8/18.2/19.0/17.3
+# Mcoords/s; 4096 exceeds the raised VMEM cap.
+TILE_N = 1024
 
 
 def _pad_params_stacked(params, L, hp, op):
