@@ -100,3 +100,64 @@ def test_step_grads_method_dispatch():
     np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_fb),
                                rtol=2e-5, atol=5e-6)
     _assert_tree_close(g_k, g_fb)
+
+
+# ---------------------------------------------------------------------------
+# Real-family one-pass step kernel (ops/pallas/real_mlp.py:real_step_fused)
+# ---------------------------------------------------------------------------
+
+_REAL_CASES = [
+    ("siren", dict(first_omega0=7.0, hidden_omega0=7.0)),
+    ("gauss", dict(scale=8.0)),
+    ("relu", {}),
+    ("posenc", dict(sidelength=64)),
+    ("bspline_form", dict(scale=3.0)),
+    ("bspline_cubic", dict(scale=3.0)),
+    ("bspline_srelu", dict(scale=3.0)),
+    ("bspline_mscale_repIN",
+     dict(in_features=8, scale=3.0, scale_tensor=(1.0, 2.0))),
+    ("bspline_mscale_HL",
+     dict(scale=3.0, scale_tensor=(1.0, 4.0), scaled_hidden_features=384,
+          base_split=256)),
+]
+
+
+@pytest.mark.parametrize("name,kw", _REAL_CASES,
+                         ids=[c[0] for c in _REAL_CASES])
+def test_real_step_matches_autodiff(name, kw):
+    kw = dict(kw)
+    kw.setdefault("in_features", 2)
+    base = dict(out_features=3, hidden_features=64, hidden_layers=2)
+    m_fb = get_inr(name, fused="never", **base, **kw)
+    m_k = get_inr(name, fused="always", **base, **kw)
+    params = m_fb.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (700, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (700, 3)).astype(np.float32))
+    for nv, dn in [(None, None), (600, 600 * 3.0)]:
+        p_fb, g_fb = m_fb.step_grads(params, coords, target,
+                                     nvalid=nv, denom=dn)
+        p_k, g_k = m_k.step_grads(params, coords, target,
+                                  nvalid=nv, denom=dn)
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_fb),
+                                   rtol=2e-4, atol=1e-5)
+        _assert_tree_close(g_k, g_fb, rtol=3e-4, atol=1e-5)
+
+
+def test_mscale_hl_detach_split_uses_fallback():
+    """detach_split (the reference-compat stop-gradient mode) is not
+    fusable; step_grads must return the autodiff fallback bitwise."""
+    kw = dict(in_features=2, out_features=3, hidden_features=64,
+              hidden_layers=2, scale=3.0, scale_tensor=(1.0, 4.0),
+              scaled_hidden_features=384, base_split=256, detach_split=True)
+    m_fb = get_inr("bspline_mscale_HL", fused="never", **kw)
+    m_k = get_inr("bspline_mscale_HL", fused="always", **kw)
+    params = m_fb.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (300, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (300, 3)).astype(np.float32))
+    p_fb, g_fb = m_fb.step_grads(params, coords, target)
+    p_k, g_k = m_k.step_grads(params, coords, target)
+    np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_fb))
+    for a, b in zip(jax.tree.leaves(g_fb), jax.tree.leaves(g_k)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))

@@ -278,6 +278,30 @@ def _fused_real(params, coords, spec, kinds, canon):
     return out.reshape(*lead, out.shape[-1])
 
 
+def _make_real_step(kinds_of, canon_of, use_ok=None, pre=None):
+    """Build a family step fn (INR.step_grads hook) over the shared one-pass
+    real-MLP train-step kernel (ops/pallas/real_mlp.py:real_step_fused).
+
+    kinds_of(spec) -> tuple of basis names (static); canon_of(params, spec)
+    -> canonical params (traced — native-family gradients are recovered by
+    jax.vjp through it); use_ok(params, spec) gates family-specific
+    fusability; pre(coords, spec) is an optional param-free input transform
+    (posenc, repIN tiling)."""
+    def step(params, coords, target, spec, *, nvalid=None, denom=None):
+        use, interpret = _use_fused(spec)
+        if not use or (use_ok is not None and not use_ok(params, spec)):
+            return None
+        from wire_tpu.ops.pallas.real_mlp import real_step_fused
+        x = coords if pre is None else pre(coords, spec)
+        canon, vjp = jax.vjp(lambda p: canon_of(p, spec), params)
+        pred, dcanon = real_step_fused(canon, x, target,
+                                       tuple(kinds_of(spec)),
+                                       nvalid=nvalid, denom=denom,
+                                       interpret=interpret)
+        return pred, vjp(dcanon)[0]
+    return step
+
+
 # ===========================================================================
 # SIREN (modules/siren.py)
 # ===========================================================================
@@ -302,22 +326,25 @@ def siren_init(key, spec: INRSpec):
     return params
 
 
+def _canon_siren(params, spec):
+    layers = []
+    for i, nm in enumerate(_layer_names(spec)):
+        w = params[nm]["w"]
+        omega = spec.first_omega0 if i == 0 else spec.hidden_omega0
+        layers.append({"w": w,
+                       "alpha": jnp.full((w.shape[1],), omega, w.dtype),
+                       "beta": omega * params[nm]["b"]})
+    return {"layers": layers, "final": dict(params["final"])}
+
+
 def siren_apply(params, coords, spec: INRSpec):
     # the backward recompute of sin/cos costs more than XLA's residual
     # storage for this family — fused only on explicit request
     use = _use_fused(spec)[0] and spec.fused == "always"
     if use:
-        names = _layer_names(spec)
-        layers = []
-        for i, nm in enumerate(names):
-            w = params[nm]["w"]
-            omega = spec.first_omega0 if i == 0 else spec.hidden_omega0
-            layers.append({"w": w,
-                           "alpha": jnp.full((w.shape[1],), omega, w.dtype),
-                           "beta": omega * params[nm]["b"]})
-        canon = {"layers": layers, "final": dict(params["final"])}
+        canon = _canon_siren(params, spec)
         return _fused_real(params, coords, spec,
-                           ("sine",) * len(names), canon)
+                           ("sine",) * len(canon["layers"]), canon)
     x = act.sine(linear(params["first"], coords), spec.first_omega0)
     for i in range(spec.hidden_layers):
         x = act.sine(linear(params[f"hidden_{i}"], x), spec.hidden_omega0)
@@ -593,11 +620,11 @@ def mscale1_apply(params, coords, spec: INRSpec):
 
 # --- mscale_repIN: replicated scaled inputs (bspline_mscale_repIN.py) -------
 
-def mscale_repin_apply(params, coords, spec: INRSpec):
-    # Forward tiles coords per scale into a widened vector
+def _repin_expand(coords, spec):
+    # Tile coords per scale into a widened vector
     # (bspline_mscale_repIN.py:110-119): in_features = 2*nscales*repeat.
-    # The reference's permute(1,0,2,3).reshape(B,-1,in) interleaves rows in a
-    # specific (scale-major) flattening; mirrored exactly here.
+    # The reference's permute(1,0,2,3).reshape(B,-1,in) interleaves rows in
+    # a specific (scale-major) flattening; mirrored exactly here.
     if coords.ndim == 2:
         coords = coords[None]
         squeeze = True
@@ -611,8 +638,11 @@ def mscale_repin_apply(params, coords, spec: INRSpec):
     tiled = jnp.tile(scaled, (1, 1, 1, repeat))              # (B, ns, N, d*r)
     x = jnp.transpose(tiled, (1, 0, 2, 3)).reshape(
         B, -1, ns * coord_dim * repeat)
-    if squeeze:
-        x = x[0]
+    return x[0] if squeeze else x
+
+
+def mscale_repin_apply(params, coords, spec: INRSpec):
+    x = _repin_expand(coords, spec)
     use, _ = _use_fused(spec)
     if use:
         s = spec.scale
@@ -648,12 +678,8 @@ def mscale_hl_init(key, spec: INRSpec):
     return params
 
 
-def mscale_hl_apply(params, coords, spec: INRSpec):
-    # One wide first Linear, output sliced per scale band
-    # (bspline_mscale_HL.py:85-97): first `base_split` units at
-    # scale_tensor[0], the rest split evenly across remaining scales.
+def _mscale_hl_bounds(width, spec):
     scales = spec.scale_tensor
-    width = params["first"]["w"].shape[1]
     base = spec.base_split
     nrest = len(scales) - 1
     bounds = [0, base]
@@ -661,28 +687,49 @@ def mscale_hl_apply(params, coords, spec: INRSpec):
         split = (width - base) // nrest
         for i in range(nrest):
             bounds.append(base + (i + 1) * split)
+    return bounds
+
+
+def _canon_mscale_hl(params, spec):
+    # per-lane alpha folds the band scales into one fused first layer
+    width = params["first"]["w"].shape[1]
+    bounds = _mscale_hl_bounds(width, spec)
+    alpha0 = np.ones((width,), np.float32)
+    for i, s in enumerate(spec.scale_tensor):
+        alpha0[bounds[i]:bounds[i + 1]] = 1.0 / s
+    alpha0 = jnp.asarray(alpha0)
+    layers = [{"w": params["first"]["w"], "alpha": alpha0,
+               "beta": alpha0 * params["first"]["b"]}]
+    s = spec.scale
+    for nm in ["trunk_in"] + [f"hidden_{i}"
+                              for i in range(max(spec.hidden_layers - 1,
+                                                 0))]:
+        w = params[nm]["w"]
+        layers.append({"w": w,
+                       "alpha": jnp.full((w.shape[1],), 1.0 / s, w.dtype),
+                       "beta": params[nm]["b"] / s})
+    return {"layers": layers, "final": dict(params["final"])}
+
+
+def _mscale_hl_fusable(params, spec):
+    width = params["first"]["w"].shape[1]
+    return (not spec.detach_split
+            and _mscale_hl_bounds(width, spec)[-1] == width)
+
+
+def mscale_hl_apply(params, coords, spec: INRSpec):
+    # One wide first Linear, output sliced per scale band
+    # (bspline_mscale_HL.py:85-97): first `base_split` units at
+    # scale_tensor[0], the rest split evenly across remaining scales.
+    scales = spec.scale_tensor
+    width = params["first"]["w"].shape[1]
+    bounds = _mscale_hl_bounds(width, spec)
 
     use, _ = _use_fused(spec)
-    if use and not spec.detach_split and bounds[-1] == width:
-        # per-lane alpha folds the band scales into one fused first layer
-        alpha0 = np.ones((width,), np.float32)
-        for i, s in enumerate(scales):
-            alpha0[bounds[i]:bounds[i + 1]] = 1.0 / s
-        alpha0 = jnp.asarray(alpha0)
-        layers = [{"w": params["first"]["w"], "alpha": alpha0,
-                   "beta": alpha0 * params["first"]["b"]}]
-        s = spec.scale
-        for nm in ["trunk_in"] + [f"hidden_{i}"
-                                  for i in range(max(spec.hidden_layers - 1,
-                                                     0))]:
-            w = params[nm]["w"]
-            layers.append({"w": w,
-                           "alpha": jnp.full((w.shape[1],), 1.0 / s,
-                                             w.dtype),
-                           "beta": params[nm]["b"] / s})
-        canon = {"layers": layers, "final": dict(params["final"])}
+    if use and _mscale_hl_fusable(params, spec):
+        canon = _canon_mscale_hl(params, spec)
         return _fused_real(params, coords, spec,
-                           ("qspline",) * len(layers), canon)
+                           ("qspline",) * len(canon["layers"]), canon)
 
     lin = linear(params["first"], coords)
     pieces = []
@@ -837,3 +884,55 @@ def bspline_plain_init(key, spec: INRSpec):
 
 def mscale_repin_init(key, spec: INRSpec):
     return _plain_mlp_init(key, spec)
+
+
+# ===========================================================================
+# One-pass fused train-step hooks (INR.step_grads; registered per family in
+# registry.STEP_REGISTRY).  Each folds its family to the canonical
+# (w, alpha, beta, basis) form and runs ops/pallas/real_mlp.real_step_fused
+# — native-param gradients come back through jax.vjp of the fold.
+# ===========================================================================
+
+def _n_act_layers(spec):
+    return spec.hidden_layers + 1
+
+
+siren_step = _make_real_step(
+    lambda spec: ("sine",) * _n_act_layers(spec), _canon_siren)
+
+gauss_step = _make_real_step(
+    lambda spec: ("gauss",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "gauss", spec.scale,
+                                   lambda b: spec.scale * b))
+
+relu_step = _make_real_step(
+    lambda spec: ("relu",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "relu", 1.0, lambda b: b),
+    pre=lambda c, spec: (act.posenc(c, posenc_num_frequencies(spec),
+                                    spec.in_features)
+                         if spec.pos_encode else c))
+
+bspline_form_step = _make_real_step(
+    lambda spec: ("qspline",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "qspline", 1.0 / spec.scale,
+                                   lambda b: b / spec.scale))
+
+bspline_cubic_step = _make_real_step(
+    lambda spec: ("cspline",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "cspline", spec.scale,
+                                   lambda b: b))
+
+bspline_srelu_step = _make_real_step(
+    lambda spec: ("srelu",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "srelu", spec.scale,
+                                   lambda b: spec.scale * b))
+
+mscale_repin_step = _make_real_step(
+    lambda spec: ("qspline",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "qspline", spec.scale,
+                                   lambda b: spec.scale * b),
+    pre=_repin_expand)
+
+mscale_hl_step = _make_real_step(
+    lambda spec: ("qspline",) * (max(spec.hidden_layers - 1, 0) + 2),
+    _canon_mscale_hl, use_ok=_mscale_hl_fusable)

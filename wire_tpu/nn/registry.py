@@ -40,6 +40,16 @@ MODEL_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
 # else trains through autodiff of its apply fn.
 STEP_REGISTRY: Dict[str, Callable] = {
     "wire": M.wire_step,
+    "siren": M.siren_step,
+    "gauss": M.gauss_step,
+    "relu": M.relu_step,
+    "posenc": M.relu_step,
+    "bspline_form": M.bspline_form_step,
+    "bspline_cubic": M.bspline_cubic_step,
+    "bspline_srelu": M.bspline_srelu_step,
+    "bspline_mscale_1_new": M.mscale_repin_step,
+    "bspline_mscale_repIN": M.mscale_repin_step,
+    "bspline_mscale_HL": M.mscale_hl_step,
 }
 
 # Default (first_omega0, hidden_omega0, scale) per family, matching each

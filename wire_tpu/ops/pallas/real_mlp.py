@@ -353,3 +353,185 @@ def _bwd(kinds, interpret, res, g):
 
 
 real_mlp_fused.defvjp(_fwd, _bwd)
+
+
+# ===========================================================================
+# One-pass fused TRAIN-STEP kernel (the real-family analogue of
+# ops/pallas/wire_step.py): forward, in-kernel MSE loss-gradient, and
+# backward in a single Pallas call.  The forward's (z, a) pairs stay live
+# in VMEM when the backward starts — no recompute pass, no HBM residual
+# traffic — and dcoords is not emitted (training never uses it).  Loss
+# semantics match the trainer's chunk_loss:
+#     loss = sum_{rows < nvalid} (y - t)^2 / denom
+# with invalid (permutation-padding) rows contiguous at the tail.
+# ===========================================================================
+
+def _make_step_kernel(L, kinds, tile_n):
+    def kernel(*refs):
+        c_ref, t_ref, nv_ref, invd_ref = refs[:4]
+        ws = [refs[4 + 3 * i][:] for i in range(L)]
+        alphas = [refs[5 + 3 * i][:] for i in range(L)]
+        betas = [refs[6 + 3 * i][:] for i in range(L)]
+        wf = refs[4 + 3 * L][:]
+        bf = refs[5 + 3 * L][:]
+        outs = refs[6 + 3 * L:]
+        y_ref = outs[0]
+        dws = outs[1:1 + L]
+        dals = outs[1 + L:1 + 2 * L]
+        dbes = outs[1 + 2 * L:1 + 3 * L]
+        dwf_ref = outs[1 + 3 * L]
+        dbf_ref = outs[2 + 3 * L]
+        i = pl.program_id(0)
+
+        c = c_ref[:]
+        acts, y = _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds)
+        y_ref[:] = y
+
+        rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (tile_n, 1), 0)
+        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
+        g = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+
+        def acc(ref, val):
+            @pl.when(i == 0)
+            def _():
+                ref[:] = val
+
+            @pl.when(i != 0)
+            def _():
+                ref[:] += val
+
+        a_last = acts[-1][1]
+        acc(dwf_ref, _dot_tn(a_last, g))
+        acc(dbf_ref, jnp.sum(g, axis=0, keepdims=True))
+        da = _dot_nt(g, wf)
+        for li in range(L - 1, -1, -1):
+            z, _ = acts[li]
+            _, dB = _basis(kinds[li])
+            v = alphas[li] * z + betas[li]
+            dv = dB(v) * da
+            dz = alphas[li] * dv
+            acc(dals[li], jnp.sum(z * dv, axis=0, keepdims=True))
+            acc(dbes[li], jnp.sum(dv, axis=0, keepdims=True))
+            a_prev = c if li == 0 else acts[li - 1][1]
+            acc(dws[li], _dot_tn(a_prev, dz))
+            if li > 0:
+                da = _dot_nt(dz, ws[li])
+        # no dcoords: the first-layer data-grad GEMM is skipped entirely
+    return kernel
+
+
+# Coordinate rows per grid step for the step kernel (the fwd/bwd pair above
+# keeps TILE_N=512; the step kernel's larger live set still fits — same
+# sweep shape as wire_step.py, 1024 measured best at the headline config).
+STEP_TILE_N = 1024
+
+
+@functools.lru_cache(maxsize=64)
+def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
+    L = len(kinds)
+    d = widths[0]
+    wp = [_round_up(w, 128) for w in widths[1:]]
+    op = _round_up(max(out_dim, 1), 128)
+
+    w_shapes = []
+    for i in range(L):
+        w_shapes.append((d if i == 0 else wp[i - 1], wp[i]))
+    f_shape = (wp[-1], op)
+
+    def fullspec(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    in_specs = [pl.BlockSpec((STEP_TILE_N, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP_TILE_N, op), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                sspec(), sspec()]
+    for i in range(L):
+        in_specs += [fullspec(w_shapes[i]), fullspec((1, wp[i])),
+                     fullspec((1, wp[i]))]
+    in_specs += [fullspec(f_shape), fullspec((1, op))]
+
+    out_specs = [pl.BlockSpec((STEP_TILE_N, op), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles * STEP_TILE_N, op),
+                                       jnp.float32)]
+    for i in range(L):
+        out_specs.append(fullspec(w_shapes[i]))
+        out_shapes.append(jax.ShapeDtypeStruct(w_shapes[i], jnp.float32))
+    for i in range(L):
+        out_specs.append(fullspec((1, wp[i])))
+        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
+    for i in range(L):
+        out_specs.append(fullspec((1, wp[i])))
+        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
+    out_specs += [fullspec(f_shape), fullspec((1, op))]
+    out_shapes += [jax.ShapeDtypeStruct(f_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((1, op), jnp.float32)]
+
+    step = pl.pallas_call(
+        _make_step_kernel(L, kinds, STEP_TILE_N),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        # grad accumulators revisit output blocks every grid step: the grid
+        # must execute sequentially
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    return step, wp, op
+
+
+def real_step_fused(canon, coords, target, kinds, *, nvalid=None,
+                    denom=None, interpret=False):
+    """One fused train step over the canonical real MLP: returns
+    (pred, dcanon) for loss = sum_{rows<nvalid}(pred-t)^2 / denom.
+    dcanon mirrors canon's structure, so callers recover native-family
+    param grads with jax.vjp through their canonicalization."""
+    n, d = coords.shape
+    L = len(kinds)
+    widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
+    out_dim = canon["final"]["b"].shape[-1]
+    n_pad = _round_up(n, STEP_TILE_N)
+    step, wp, op = _step_programs(tuple(kinds), widths, out_dim,
+                                  n_pad // STEP_TILE_N, interpret)
+    padded, wfp, bfp = _pad_canonical(canon, wp, op)
+    nv = jnp.full((1, 1), n, jnp.int32) if nvalid is None else \
+        jnp.asarray(nvalid, jnp.int32).reshape(1, 1)
+    dn = jnp.asarray(float(n * out_dim) if denom is None else denom,
+                     jnp.float32).reshape(1, 1)
+    args = [jnp.pad(coords, ((0, n_pad - n), (0, 0))),
+            jnp.pad(target, ((0, n_pad - n), (0, op - out_dim))),
+            nv, 1.0 / dn]
+    for Wp, al, be in padded:
+        args += [Wp, al, be]
+    args += [wfp, bfp]
+    outs = step(*args)
+    pred = outs[0][:n, :out_dim]
+    dlayers = []
+    for i in range(L):
+        win, wout = canon["layers"][i]["w"].shape
+        dlayers.append({
+            "w": outs[1 + i][:win, :wout],
+            "alpha": outs[1 + L + i][0, :wout].reshape(
+                canon["layers"][i]["alpha"].shape),
+            "beta": outs[1 + 2 * L + i][0, :wout].reshape(
+                canon["layers"][i]["beta"].shape),
+        })
+    h, o = canon["final"]["w"].shape
+    dcanon = {
+        "layers": dlayers,
+        "final": {"w": outs[1 + 3 * L][:h, :o],
+                  "b": outs[2 + 3 * L][0, :o].reshape(
+                      canon["final"]["b"].shape)},
+    }
+    return pred, dcanon
