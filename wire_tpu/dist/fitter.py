@@ -91,25 +91,22 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
                 [perm, jnp.full((npad,), local_n, perm.dtype)])
         perm = perm.reshape(nchunks, mp_local)
 
-        def chunk_loss(p, idx):
-            valid = idx < local_n
-            safe = jnp.minimum(idx, local_n - 1)
-            pred = model.apply(p, lc[safe])
-            w = valid.astype(pred.dtype)[:, None]
-            # local masked mean; with equal shards and no remainder this is
-            # the per-device contribution to the global batch mean
-            return (jnp.sum(w * (pred - lt[safe]) ** 2)
-                    / (jnp.sum(w) * pred.shape[-1])), pred
-
         def chunk_body(inner, idx):
             params, opt_state, rec = inner
-            (loss, pred), grads = jax.value_and_grad(
-                chunk_loss, has_aux=True)(params, idx)
+            # local masked mean; with equal shards and no remainder this is
+            # the per-device contribution to the global batch mean.  Sentinel
+            # (== local_n) indices are tail-contiguous by construction of
+            # perm above, as step_grads requires.
+            nvalid = jnp.sum(idx < local_n)
+            safe = jnp.minimum(idx, local_n - 1)
+            denom = nvalid.astype(jnp.float32) * lt.shape[-1]
+            pred, grads = model.step_grads(params, lc[safe], lt[safe],
+                                           nvalid=nvalid, denom=denom)
             grads = jax.lax.pmean(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             rec = rec.at[idx].set(pred, mode="drop")
-            return (params, opt_state, rec), loss
+            return (params, opt_state, rec), 0.0
 
         (params, opt_state, rec), _ = jax.lax.scan(
             chunk_body, (params, opt_state, rec), perm)
@@ -170,24 +167,21 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
         perm = perm.reshape(nchunks, ndev, mp_local)
         dev = jax.lax.axis_index(axis)
 
-        def chunk_loss(p, idx):
-            valid = (idx < npoints)
-            safe = jnp.minimum(idx, npoints - 1)
-            pred = model.apply(p, lc[safe])
-            w = valid.astype(pred.dtype)[:, None]
-            cnt = jax.lax.psum(jnp.sum(w), axis)
-            # partial of the GLOBAL chunk masked mean; psum(grads) completes
-            # the sum — identical value to the single-device chunk loss
-            partial = (jnp.sum(w * (pred - lt[safe]) ** 2)
-                       / (cnt * pred.shape[-1]))
-            return partial, pred
-
         def chunk_body(inner, idx_all):
             params, opt_state, rec = inner
             idx = jax.lax.dynamic_index_in_dim(idx_all, dev, 0,
                                                keepdims=False)
-            (_, pred), grads = jax.value_and_grad(
-                chunk_loss, has_aux=True)(params, idx)
+            # partial of the GLOBAL chunk masked mean; psum(grads) completes
+            # the sum — identical value to the single-device chunk loss.
+            # Sentinels sit at the global permutation's tail, so each
+            # device's slice keeps them tail-contiguous (step_grads' mask
+            # contract).
+            nvalid = jnp.sum(idx < npoints)
+            safe = jnp.minimum(idx, npoints - 1)
+            cnt = jax.lax.psum(nvalid.astype(jnp.float32), axis)
+            pred, grads = model.step_grads(params, lc[safe], lt[safe],
+                                           nvalid=nvalid,
+                                           denom=cnt * lt.shape[-1])
             grads = jax.lax.psum(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
