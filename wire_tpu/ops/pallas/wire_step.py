@@ -50,6 +50,13 @@ from wire_tpu.ops.pallas.wire_mlp import (_gabor, _gabor_first, _make_dot,
 # Mcoords/s; 4096 exceeds the raised VMEM cap.
 TILE_N = 1024
 
+# Independent row-group streams per tile.  The layer chain is serially
+# dependent (GEMM -> VPU transcendentals -> GEMM); processing S independent
+# row groups stage-interleaved gives the Mosaic scheduler independent MXU
+# and VPU work to overlap, hiding the dependency stalls that cap the
+# single-stream kernel at ~37% of MXU peak.
+N_STREAMS = 1
+
 
 def _pad_params_stacked(params, L, hp, op):
     """Stacked, lane-padded weights.
@@ -111,9 +118,11 @@ def _unstack_grads(dw, params, L, h, hp, o):
 
 
 def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                      tile_n, hp):
+                      tile_n, hp, streams=1):
     _dot, _dot_tn, _dot_nt = _make_dot(precision)
     s2 = sigma0 * sigma0
+    S = streams
+    rows_per = tile_n // S
 
     def kernel(*refs):
         c_ref, t_ref, nv_ref, invd_ref = refs[:4]
@@ -123,30 +132,46 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
         dacc = {nm: outs[1 + k] for k, nm in enumerate(names)}
         i = pl.program_id(0)
 
-        # ---- forward, keeping (pre-activation, gabor factors) live ------
-        c = c_ref[:]
-        z1 = _dot(c, w["w1"]) + w["b1"]
-        m0 = jnp.exp(-s2 * (z1 * z1))
-        cos0, sin0 = jnp.cos(first_omega0 * z1), jnp.sin(first_omega0 * z1)
-        a = jnp.concatenate([m0 * cos0, m0 * sin0], axis=1)
-        live = []          # per hidden layer: (a_in, zr, zi, m, cos, sin)
+        def rows_of(ref, s):
+            return ref[pl.ds(s * rows_per, rows_per), :]
+
+        # ---- forward, keeping (pre-activation, gabor factors) live -------
+        # Each stage loops over the S independent row-group streams before
+        # advancing, so stream s+1's GEMM can occupy the MXU while stream
+        # s's transcendentals run on the VPU.
+        c = [rows_of(c_ref, s) for s in range(S)]
+        z1 = [_dot(c[s], w["w1"]) + w["b1"] for s in range(S)]
+        m0 = [jnp.exp(-s2 * (z * z)) for z in z1]
+        cos0 = [jnp.cos(first_omega0 * z) for z in z1]
+        sin0 = [jnp.sin(first_omega0 * z) for z in z1]
+        a = [jnp.concatenate([m0[s] * cos0[s], m0[s] * sin0[s]], axis=1)
+             for s in range(S)]
+        live = []      # per hidden layer, per stream: (a_in, zr, zi, m, c, s)
         for li in range(L):
-            z = _dot(a, w[f"h{li}W"]) + w[f"h{li}B"]
-            zr, zi = z[:, :hp], z[:, hp:]
-            m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
-            cos, sin = jnp.cos(omega0 * zr), jnp.sin(omega0 * zr)
-            live.append((a, zr, zi, m, cos, sin))
-            a = jnp.concatenate([m * cos, m * sin], axis=1)
-        y = _dot(a, w["fW"]) + w["fb"]
-        y_ref[:] = y
+            z = [_dot(a[s], w[f"h{li}W"]) + w[f"h{li}B"] for s in range(S)]
+            lay = []
+            nxt = []
+            for s in range(S):
+                zr, zi = z[s][:, :hp], z[s][:, hp:]
+                m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
+                cos, sin = jnp.cos(omega0 * zr), jnp.sin(omega0 * zr)
+                lay.append((a[s], zr, zi, m, cos, sin))
+                nxt.append(jnp.concatenate([m * cos, m * sin], axis=1))
+            live.append(lay)
+            a = nxt
+        y = [_dot(a[s], w["fW"]) + w["fb"] for s in range(S)]
+        for s in range(S):
+            y_ref[pl.ds(s * rows_per, rows_per), :] = y[s]
 
         # ---- in-kernel MSE loss-gradient ---------------------------------
         # rows >= nvalid are permutation-padding sentinels (always tail-
         # contiguous); their gradient contribution must be exactly zero.
-        rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (tile_n, 1), 0)
-        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
-        g = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+        g = []
+        for s in range(S):
+            rows = (i * tile_n + s * rows_per
+                    + jax.lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0))
+            mask = (rows < nv_ref[0, 0]).astype(y[s].dtype)
+            g.append((2.0 * invd_ref[0, 0]) * mask * (y[s] - rows_of(t_ref, s)))
 
         # ---- backward on the live activations ----------------------------
         def acc(nm, val):
@@ -158,28 +183,44 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
             def _():
                 dacc[nm][:] += val
 
-        acc("fW", _dot_tn(a, g))
-        acc("fb", jnp.sum(g, axis=0, keepdims=True))
-        da = _dot_nt(g, w["fW"])
+        def accsum(parts):
+            out = parts[0]
+            for p in parts[1:]:
+                out = out + p
+            return out
+
+        acc("fW", accsum([_dot_tn(a[s], g[s]) for s in range(S)]))
+        acc("fb", accsum([jnp.sum(g[s], axis=0, keepdims=True)
+                          for s in range(S)]))
+        da = [_dot_nt(g[s], w["fW"]) for s in range(S)]
 
         for li in range(L - 1, -1, -1):
-            a_in, zr, zi, m, cos, sin = live[li]
-            dar, dai = da[:, :hp], da[:, hp:]
-            dm = dar * cos + dai * sin
-            dph = m * (-dar * sin + dai * cos)
-            dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
-            dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
-            dz = jnp.concatenate([dzr, dzi], axis=1)
-            acc(f"h{li}W", _dot_tn(a_in, dz))
-            acc(f"h{li}B", jnp.sum(dz, axis=0, keepdims=True))
-            da = _dot_nt(dz, w[f"h{li}W"])
+            dz = []
+            for s in range(S):
+                a_in, zr, zi, m, cos, sin = live[li][s]
+                dar, dai = da[s][:, :hp], da[s][:, hp:]
+                dm = dar * cos + dai * sin
+                dph = m * (-dar * sin + dai * cos)
+                dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
+                dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
+                dz.append(jnp.concatenate([dzr, dzi], axis=1))
+            acc(f"h{li}W", accsum([_dot_tn(live[li][s][0], dz[s])
+                                   for s in range(S)]))
+            acc(f"h{li}B", accsum([jnp.sum(dz[s], axis=0, keepdims=True)
+                                   for s in range(S)]))
+            da = [_dot_nt(dz[s], w[f"h{li}W"]) for s in range(S)]
 
-        dar, dai = da[:, :hp], da[:, hp:]
-        dz1 = (dar * (m0 * (-2.0 * s2 * z1) * cos0 - m0 * first_omega0 * sin0)
-               + dai * (m0 * (-2.0 * s2 * z1) * sin0
-                        + m0 * first_omega0 * cos0))
-        acc("w1", _dot_tn(c, dz1))
-        acc("b1", jnp.sum(dz1, axis=0, keepdims=True))
+        dz1 = []
+        for s in range(S):
+            dar, dai = da[s][:, :hp], da[s][:, hp:]
+            dz1.append(
+                dar * (m0[s] * (-2.0 * s2 * z1[s]) * cos0[s]
+                       - m0[s] * first_omega0 * sin0[s])
+                + dai * (m0[s] * (-2.0 * s2 * z1[s]) * sin0[s]
+                         + m0[s] * first_omega0 * cos0[s]))
+        acc("w1", accsum([_dot_tn(c[s], dz1[s]) for s in range(S)]))
+        acc("b1", accsum([jnp.sum(dz1[s], axis=0, keepdims=True)
+                          for s in range(S)]))
         # no dcoords: training never differentiates w.r.t. the grid
 
     return kernel
@@ -187,7 +228,7 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
 
 @functools.lru_cache(maxsize=32)
 def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
-                  interpret, precision="default"):
+                  interpret, precision="default", streams=1):
     hp = _round_up(h, 128)
     op = _round_up(max(o, 1), 128)
     names = ["w1", "b1"]
@@ -212,7 +253,7 @@ def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
 
     step = pl.pallas_call(
         _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                          tile_n, hp),
+                          tile_n, hp, streams=streams),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -253,10 +294,11 @@ def wire_step_fused(params, coords, target, spec, *, nvalid=None,
     L = spec.hidden_layers
     n_pad = _round_up(n, TILE_N)
     n_tiles = n_pad // TILE_N
+    streams = N_STREAMS if TILE_N % max(N_STREAMS, 1) == 0 else 1
     step, names, hp, op = _step_program(
         L, float(spec.hidden_omega0), float(spec.scale),
         float(spec.first_omega0), d, h, o, TILE_N, n_tiles, interpret,
-        getattr(spec, "gemm_precision", "default"))
+        getattr(spec, "gemm_precision", "default"), streams)
     padded, _, _, _ = _pad_params_stacked(params, L, hp, op)
     cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     tpad = jnp.pad(target, ((0, n_pad - n), (0, op - o)))
