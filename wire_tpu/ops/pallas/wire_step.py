@@ -135,18 +135,22 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
         def rows_of(ref, s):
             return ref[pl.ds(s * rows_per, rows_per), :]
 
-        # ---- forward, keeping (pre-activation, gabor factors) live -------
+        # ---- forward, keeping (input activation, pre-activation) live ----
         # Each stage loops over the S independent row-group streams before
         # advancing, so stream s+1's GEMM can occupy the MXU while stream
         # s's transcendentals run on the VPU.
         c = [rows_of(c_ref, s) for s in range(S)]
         z1 = [_dot(c[s], w["w1"]) + w["b1"] for s in range(S)]
-        m0 = [jnp.exp(-s2 * (z * z)) for z in z1]
-        cos0 = [jnp.cos(first_omega0 * z) for z in z1]
-        sin0 = [jnp.sin(first_omega0 * z) for z in z1]
-        a = [jnp.concatenate([m0[s] * cos0[s], m0[s] * sin0[s]], axis=1)
-             for s in range(S)]
-        live = []      # per hidden layer, per stream: (a_in, zr, zi, m, c, s)
+        a = []
+        for s in range(S):
+            m0 = jnp.exp(-s2 * (z1[s] * z1[s]))
+            a.append(jnp.concatenate(
+                [m0 * jnp.cos(first_omega0 * z1[s]),
+                 m0 * jnp.sin(first_omega0 * z1[s])], axis=1))
+        live = []      # per hidden layer, per stream: (a_in, zr, zi); the
+        # gabor factors are NOT stored — the backward recovers (ar, ai)
+        # from the next layer's a_in, so each layer keeps 3 arrays live
+        # instead of 6 and the reverse sweep needs no transcendentals.
         for li in range(L):
             z = [_dot(a[s], w[f"h{li}W"]) + w[f"h{li}B"] for s in range(S)]
             lay = []
@@ -154,9 +158,10 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
             for s in range(S):
                 zr, zi = z[s][:, :hp], z[s][:, hp:]
                 m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
-                cos, sin = jnp.cos(omega0 * zr), jnp.sin(omega0 * zr)
-                lay.append((a[s], zr, zi, m, cos, sin))
-                nxt.append(jnp.concatenate([m * cos, m * sin], axis=1))
+                lay.append((a[s], zr, zi))
+                nxt.append(jnp.concatenate(
+                    [m * jnp.cos(omega0 * zr),
+                     m * jnp.sin(omega0 * zr)], axis=1))
             live.append(lay)
             a = nxt
         y = [_dot(a[s], w["fW"]) + w["fb"] for s in range(S)]
@@ -194,30 +199,42 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
                           for s in range(S)]))
         da = [_dot_nt(g[s], w["fW"]) for s in range(S)]
 
+        # Gabor backward in activation form: with (ar, ai) the layer's own
+        # output activation (= the NEXT layer's a_in, so it's already live)
+        # and dL/d(ar,ai) = (dar, dai),
+        #   t1 = dar*ar + dai*ai        (= dm·m, the modulus channel)
+        #   t2 = dai*ar - dar*ai        (= m·dphase, the phase channel)
+        #   dzr = -2σ²·zr·t1 + ω₀·t2
+        #   dzi = (-ω₀ - 2σ²·zi)·t1
+        # — algebraically identical to the m/cos/sin form but ~25% fewer
+        # VPU ops and no transcendentals in the reverse sweep.
+        a_out = a
         for li in range(L - 1, -1, -1):
             dz = []
             for s in range(S):
-                a_in, zr, zi, m, cos, sin = live[li][s]
+                a_in, zr, zi = live[li][s]
+                ar, ai = a_out[s][:, :hp], a_out[s][:, hp:]
                 dar, dai = da[s][:, :hp], da[s][:, hp:]
-                dm = dar * cos + dai * sin
-                dph = m * (-dar * sin + dai * cos)
-                dzr = dm * (-2.0 * s2 * zr) * m + omega0 * dph
-                dzi = dm * (-omega0 - 2.0 * s2 * zi) * m
+                t1 = dar * ar + dai * ai
+                t2 = dai * ar - dar * ai
+                dzr = (-2.0 * s2) * zr * t1 + omega0 * t2
+                dzi = (-omega0 - (2.0 * s2) * zi) * t1
                 dz.append(jnp.concatenate([dzr, dzi], axis=1))
             acc(f"h{li}W", accsum([_dot_tn(live[li][s][0], dz[s])
                                    for s in range(S)]))
             acc(f"h{li}B", accsum([jnp.sum(dz[s], axis=0, keepdims=True)
                                    for s in range(S)]))
             da = [_dot_nt(dz[s], w[f"h{li}W"]) for s in range(S)]
+            a_out = [live[li][s][0] for s in range(S)]
 
         dz1 = []
         for s in range(S):
+            # a_out is now the first-layer activation (m0·cos0 | m0·sin0)
+            ar, ai = a_out[s][:, :hp], a_out[s][:, hp:]
             dar, dai = da[s][:, :hp], da[s][:, hp:]
-            dz1.append(
-                dar * (m0[s] * (-2.0 * s2 * z1[s]) * cos0[s]
-                       - m0[s] * first_omega0 * sin0[s])
-                + dai * (m0[s] * (-2.0 * s2 * z1[s]) * sin0[s]
-                         + m0[s] * first_omega0 * cos0[s]))
+            t1 = dar * ar + dai * ai
+            t2 = dai * ar - dar * ai
+            dz1.append((-2.0 * s2) * z1[s] * t1 + first_omega0 * t2)
         acc("w1", accsum([_dot_tn(c[s], dz1[s]) for s in range(S)]))
         acc("b1", accsum([jnp.sum(dz1[s], axis=0, keepdims=True)
                           for s in range(S)]))
