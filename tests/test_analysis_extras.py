@@ -102,6 +102,80 @@ def test_volume_extras():
     assert V.downsample_blocks(blocks, 2).shape[1] == 50
 
 
+def test_block_point_cloud_matches_reference():
+    """BlockPointCloud vs the reference BlockPCDDataset (volutils.py:162-382)
+    on the same cloud: bucketing, counts, limits, fold, unfold, downsample."""
+    from . import torch_bridge  # noqa: F401  (reference on sys.path)
+    import builtins
+    import sys
+    import types
+    # volutils imports open3d/mcubes/skimage at module scope; stub missing
+    for mod in ("open3d", "mcubes", "skimage", "skimage.metrics"):
+        if mod not in sys.modules:
+            try:
+                builtins.__import__(mod)
+            except ImportError:
+                stub = types.ModuleType(mod)
+                if mod == "skimage.metrics":
+                    stub.structural_similarity = None
+                    sys.modules["skimage"].metrics = stub
+                sys.modules[mod] = stub
+    from modules import volutils as ref
+
+    rng = np.random.RandomState(0)
+    xyz = rng.rand(500, 3).astype(np.float32) * 2 - 1
+    depth = 2
+    ours = V.BlockPointCloud(xyz, depth=depth)
+    theirs = ref.BlockPCDDataset(xyz.copy(), depth=depth)
+
+    nb = 2 ** depth
+    ref_counts = np.array([len(theirs.chunks[k])
+                           for k in sorted(theirs.indices,
+                                           key=lambda k: theirs.indices[k])])
+    np.testing.assert_array_equal(ours.counts, ref_counts)
+    # the reference's per-cell limits are relative to the bbox origin but
+    # used as absolute sampling bounds (volutils.py:218-219,276-279) — a
+    # defect; ours are absolute (minvals-offset), per SURVEY.md §2.6 policy
+    np.testing.assert_allclose(ours.minlim,
+                               theirs.minlim + theirs.minvals[None, :],
+                               rtol=1e-5, atol=1e-5)
+    assert ours.maxpoints() == theirs.maxpoints()
+    assert ours.nchunks() == len(theirs.clean_chunks)
+
+    # fill+fold: real points land in the right cells with sdf 1; padding 0
+    fx, fs = ours.fill(rng=np.random.RandomState(1))
+    assert fx.shape == (nb ** 3, ours.maxpoints(), 3)
+    for ci in range(nb ** 3):
+        k = int(ours.counts[ci])
+        assert np.all(fs[ci, :k] == 1.0) and np.all(fs[ci, k:] == 0.0)
+        lo, hi = ours.minlim[ci], ours.maxlim[ci]
+        assert np.all(fx[ci] >= lo - 1e-5) and np.all(fx[ci] <= hi + 1e-5)
+
+    # refill replaces exactly the sdf=0 slots, in-cell
+    import jax
+    rx = np.asarray(ours.refill(fx, fs, jax.random.key(0)))
+    np.testing.assert_allclose(rx[fs[..., 0] == 1], fx[fs[..., 0] == 1])
+    moved = rx[fs[..., 0] == 0]
+    if moved.size:
+        assert not np.allclose(moved, fx[fs[..., 0] == 0])
+
+    # unfold parity on a uniform query grid vs the reference's loop
+    qc, qds = V.block_query_coords((-1, -1, -1), (1, 1, 1), 16, 1)
+    ref_qc, ref_qds = ref.get_query_coords(np.array([-1.0] * 3),
+                                           np.array([1.0] * 3), 16, 1)
+    vals = np.arange(qc.shape[0] * qc.shape[1], dtype=np.float32)
+    vals = vals.reshape(qc.shape[0], qc.shape[1], 1)
+    cube_ours = qds.unfold(vals, 16)
+    cube_ref = ref_qds.unfold(vals, cubesize=16)
+    np.testing.assert_allclose(cube_ours, cube_ref)
+
+    # downsample halves the depth and keeps one centroid per occupied cell
+    ds = ours.downsample(1)
+    assert ds.depth == depth - 1
+    assert ds.xyz.shape[0] == int((ours.counts > 0).sum())
+    assert ours.flatten().shape == xyz.shape
+
+
 def test_aggregate_and_inspect(tmp_path):
     # build two fake runs
     from wire_tpu.train import artifacts as A

@@ -165,6 +165,169 @@ def get_query_coords(minlim, maxlim, cube_res, npoints_per_block):
     return block_partition(coords, npoints_per_block)
 
 
+class BlockPointCloud:
+    """Chunked spatial representation of a 3D point cloud — the
+    BlockPCDDataset role (volutils.py:162-382), vectorized.
+
+    Each axis of the point cloud's bounding box is divided into 2^depth
+    cells; points are bucketed by cell.  The folded form is a static-shape
+    (ncells, npoints, 3) array — the natural unit for blockwise INR
+    evaluation and for sharding volumes across a device mesh.  The reference
+    builds this with per-point Python loops and dict-of-lists chunks
+    (volutils.py:222-229); here bucketing is one argsort and all per-cell
+    operations are vectorized, so 100M-point clouds are practical.
+
+    sdf: optional (N, 1) values carried alongside the points (default 1,
+    volutils.py:179-182).  "Occupied" cells are those holding >=1 point
+    (the reference's prune(), volutils.py:233-234).
+    """
+
+    def __init__(self, xyz, sdf=None, depth=4):
+        xyz = np.asarray(xyz, np.float32)
+        self.xyz = xyz
+        self.depth = int(depth)
+        self.sdf = (np.ones((xyz.shape[0], 1), np.float32) if sdf is None
+                    else np.asarray(sdf, np.float32).reshape(-1, 1))
+        self.minvals = xyz.min(0)
+        self.maxvals = xyz.max(0) + 1e-6
+        self._build()
+
+    # -- construction ------------------------------------------------------
+    def _build(self):
+        nb = 2 ** self.depth
+        self.nblocks = nb
+        delta = (self.maxvals - self.minvals) / nb
+        self.delta = delta
+        cell = np.floor((self.xyz - self.minvals) / delta).astype(np.int64)
+        cell = np.clip(cell, 0, nb - 1)
+        # cell index ordering matches the reference's mgrid hstack
+        # (volutils.py:214-224): idx = x*nb^2 + y*nb + z
+        flat = (cell[:, 0] * nb + cell[:, 1]) * nb + cell[:, 2]
+        order = np.argsort(flat, kind="stable")
+        self._order = order
+        self._sorted_xyz = self.xyz[order]
+        self._sorted_sdf = self.sdf[order]
+        self.counts = np.bincount(flat, minlength=nb ** 3)
+        self._starts = np.concatenate([[0], np.cumsum(self.counts)[:-1]])
+        self.occupied = self.counts > 0
+        # per-cell sampling limits (volutils.py:218-219)
+        idx = np.arange(nb ** 3)
+        all_idx = np.stack([idx // (nb * nb), (idx // nb) % nb, idx % nb],
+                           axis=-1)
+        self.minlim = (all_idx * delta + self.minvals).astype(np.float32)
+        self.maxlim = ((all_idx + 1) * delta + self.minvals).astype(
+            np.float32)
+
+    # -- reference-API queries --------------------------------------------
+    def maxpoints(self):
+        return int(self.counts.max())
+
+    def minpoints(self, occupied_only=False):
+        c = self.counts[self.occupied] if occupied_only else self.counts
+        return int(c.min()) if c.size else 0
+
+    def nchunks(self, occupied_only=True):
+        return int(self.occupied.sum()) if occupied_only else self.nblocks ** 3
+
+    def flatten(self):
+        """All points concatenated in cell order (volutils.py:248-261)."""
+        return self._sorted_xyz.copy()
+
+    # -- fold / fill -------------------------------------------------------
+    def fill(self, rng=None, occupied_only=False):
+        """Folded (ncells, maxpoints, 3) + (ncells, maxpoints, 1) arrays with
+        every cell padded to ``maxpoints()`` by uniform-random points inside
+        the cell carrying sdf=0 (fill + fold, volutils.py:263-326).  The
+        reference mutates dict-of-lists; here the fold is built directly."""
+        rng = np.random if rng is None else rng
+        mp = self.maxpoints()
+        nc = self.nblocks ** 3
+        xyz = rng.rand(nc, mp, 3).astype(np.float32)
+        xyz = self.minlim[:, None, :] + self.delta[None, None, :] * xyz
+        sdf = np.zeros((nc, mp, 1), np.float32)
+        slot = np.arange(mp)[None, :]
+        has = slot < self.counts[:, None]                   # (nc, mp)
+        src = np.clip(self._starts[:, None] + slot, 0,
+                      max(len(self._sorted_xyz) - 1, 0))
+        if len(self._sorted_xyz):
+            xyz[has] = self._sorted_xyz[src[has]]
+            sdf[has] = self._sorted_sdf[src[has]]
+        if occupied_only:
+            return xyz[self.occupied], sdf[self.occupied]
+        return xyz, sdf
+
+    def fold(self, occupied_only=False):
+        """(ncells, npoints, 3)/(ncells, npoints, 1) when every folded cell
+        holds the same number of points (volutils.py:299-326 — 'call fill()
+        before folding'); uniform grids satisfy this by construction."""
+        counts = self.counts[self.occupied] if occupied_only else self.counts
+        if counts.size and (counts != counts[0]).any():
+            raise ValueError(
+                "fold() needs uniform per-cell counts; use fill()")
+        return self.fill(occupied_only=occupied_only)
+
+    def refill(self, folded_xyz, folded_sdf, key):
+        """Functionally resample coordinates whose sdf is zero to fresh
+        uniform positions inside their cell (volutils.py:287-297) — a jittable
+        update for on-device importance refresh between epochs."""
+        import jax
+        import jax.numpy as jnp
+        u = jax.random.uniform(key, folded_xyz.shape)
+        newpts = (jnp.asarray(self.minlim)[:, None, :]
+                  + jnp.asarray(self.delta)[None, None, :] * u)
+        return folded_sdf * folded_xyz + (1.0 - folded_sdf) * newpts
+
+    def unfold(self, sdfs, cubesize):
+        """Reassemble per-cell value grids into a dense cube
+        (volutils.py:328-354, including its per-block and final transposes),
+        as one reshape/transpose instead of a per-key loop."""
+        nb = self.nblocks
+        bs = cubesize // nb
+        blocks = np.asarray(sdfs).reshape(nb, nb, nb, bs, bs, bs)
+        blocks = np.transpose(blocks, (0, 1, 2, 4, 3, 5))   # per-block [1,0,2]
+        cube = np.transpose(blocks, (0, 3, 1, 4, 2, 5)).reshape(
+            cubesize, cubesize, cubesize)
+        return np.transpose(cube, (1, 0, 2))                # final transpose
+
+    def downsample(self, ndepths=1, targetdepth=None):
+        """Collapse each occupied cell to its centroid, then re-bucket at a
+        shallower depth (volutils.py:356-382).  Returns a new
+        BlockPointCloud."""
+        if ndepths == 0 and targetdepth is None:
+            return self
+        pts = self.xyz
+        depth = self.depth
+        for i in range(ndepths):
+            bpc = BlockPointCloud(pts, depth=depth)
+            sums = np.zeros((bpc.nblocks ** 3, 3), np.float64)
+            nb = bpc.nblocks
+            cell = np.clip(np.floor((pts - bpc.minvals) / bpc.delta), 0,
+                           nb - 1).astype(np.int64)
+            flat = (cell[:, 0] * nb + cell[:, 1]) * nb + cell[:, 2]
+            np.add.at(sums, flat, pts)
+            occ = bpc.counts > 0
+            pts = (sums[occ] / bpc.counts[occ][:, None]).astype(np.float32)
+            depth -= 1
+        return BlockPointCloud(
+            pts, depth=depth if targetdepth is None else targetdepth)
+
+
+def block_query_coords(minlim, maxlim, cube_res, depth):
+    """Regular query grid folded into spatial blocks for blockwise implicit
+    probing — the reference's get_query_coords (volutils.py:145-159): builds
+    the xy-indexed meshgrid, buckets it at 2^depth per axis, and returns the
+    folded chunks plus the container (for unfold())."""
+    x = np.linspace(minlim[0], maxlim[0], cube_res)
+    y = np.linspace(minlim[1], maxlim[1], cube_res)
+    z = np.linspace(minlim[2], maxlim[2], cube_res)
+    X, Y, Z = np.meshgrid(x, y, z)
+    coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()],
+                      axis=-1).astype(np.float32)
+    ds = BlockPointCloud(coords, depth=depth)
+    chunks, _ = ds.fold()
+    return chunks, ds
+
+
 def cuboid_data(origin, size=(1, 1, 1)):
     """Face meshes of an axis-aligned cuboid for matplotlib surface plots
     (volutils.cuboid_data, volutils.py:441-464)."""
