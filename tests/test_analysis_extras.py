@@ -77,6 +77,22 @@ def test_optical_flow_and_rgb():
     assert abs(flow[8:-8, 8:-8, 0].mean() - 2) < 1.0
 
 
+def test_ecc_flow_recovers_translation():
+    im = I.synthetic_image(64, 64, 1, seed=2)[..., 0]
+    dx = 3
+    im2 = np.roll(im, dx, axis=1)
+    warp, aligned, flow = Mo.ecc_flow(im, im2, motion="euclidean")
+    # warp maps im1 coords onto im2: x' = x + dx
+    assert abs(warp[0, 2] - dx) < 0.5
+    # aligned == im2 warped back to im1's frame (interior)
+    assert np.abs(aligned[8:-8, 8:-8] - im[8:-8, 8:-8]).mean() < 0.05
+    # flow normalization is 2/W per pixel (reference motion.py:194-195)
+    assert abs(flow[8:-8, 8:-8, 0].mean() - dx * 2 / 64) < 0.02
+    # homography mode returns a 3x3 matrix
+    warp_h, _, _ = Mo.ecc_flow(im, im2, motion="homography", niters=200)
+    assert warp_h.shape == (3, 3)
+
+
 def test_video_cs_roundtrip():
     rng = np.random.RandomState(0)
     T, H, W = 8, 6, 5

@@ -346,6 +346,43 @@ def optical_flow(frame1, frame2):
     return flow, warped
 
 
+def ecc_flow(im1, im2, motion="homography", niters=1000, eps=-1):
+    """Single-pair ECC intensity alignment (ecc_flow, motion.py:131-197):
+    registers im2 to im1 and returns (warp_matrix, im2_aligned, flow), where
+    flow is the [-1, 1]-normalized coordinate displacement field mapping im2
+    pixels to im1's frame (flow[..., 0] = dx * 2/W, flow[..., 1] = dy * 2/H
+    — the reference's normalization, motion.py:194-195)."""
+    if cv2 is None:
+        raise RuntimeError("ecc_flow needs cv2")
+    modes = {"translation": cv2.MOTION_TRANSLATION,
+             "euclidean": cv2.MOTION_EUCLIDEAN,
+             "affine": cv2.MOTION_AFFINE,
+             "homography": cv2.MOTION_HOMOGRAPHY}
+    mode = modes[motion]
+    H, W = im1.shape[:2]
+    warp = (np.eye(3, dtype=np.float32) if mode == cv2.MOTION_HOMOGRAPHY
+            else np.eye(2, 3, dtype=np.float32))
+    criteria = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, niters, eps)
+    _, warp = cv2.findTransformECC(im1.astype(np.float32),
+                                   im2.astype(np.float32), warp, mode,
+                                   criteria=criteria, inputMask=None,
+                                   gaussFiltSize=5)
+    flags = cv2.INTER_LINEAR + cv2.WARP_INVERSE_MAP
+    if mode == cv2.MOTION_HOMOGRAPHY:
+        aligned = cv2.warpPerspective(im2, warp, (W, H), flags=flags)
+    else:
+        aligned = cv2.warpAffine(im2, warp, (W, H), flags=flags)
+    Y, X = np.mgrid[:H, :W]
+    coords = np.stack([X.ravel(), Y.ravel(), np.ones(H * W)], axis=0)
+    cn = warp @ coords
+    if mode == cv2.MOTION_HOMOGRAPHY:
+        cn = cn[:2] / cn[2]
+    flow = np.zeros((H, W, 2), np.float32)
+    flow[..., 0] = (cn[0] - coords[0]).reshape(H, W) * (2 / W)
+    flow[..., 1] = (cn[1] - coords[1]).reshape(H, W) * (2 / H)
+    return warp, aligned, flow
+
+
 def flow2rgb(flow):
     """HSV flow visualization (motion.py:685-699)."""
     H, W, _ = flow.shape
