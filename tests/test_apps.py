@@ -89,6 +89,30 @@ def test_multi_sr_estimated_registration(tmp_path):
     assert np.isfinite(out["psnr"])
 
 
+def test_sweep_denoise(tmp_path):
+    # the legacy wire_*.py outer-loop counterpart: two nonlins, tiny image
+    from wire_tpu.apps import sweep
+    res = sweep.sweep_denoise(image=_small_image(tmp_path, 48),
+                              results_dir=str(tmp_path / "res"),
+                              niters=40, nonlins=["wire", "gauss"], size=48)
+    assert set(res) == {"wire", "gauss"}
+    for r in res.values():
+        assert np.isfinite(r["Best PSNR"])
+        assert r["Expected PSNR"] > 0 and "PSNR Difference" in r
+    for f in ("denoise_sweep_info.mat", "denoise_sweep_metrics.mat",
+              "denoise_sweep_table.md"):
+        assert os.path.exists(os.path.join(tmp_path, "res", f)), f
+
+
+def test_sweep_ct_cli(tmp_path):
+    # exercise the argparse entry too (wire_ct.py's loop shape)
+    from wire_tpu.apps import sweep
+    sweep.main(["ct", "--image", _small_image(tmp_path, 32),
+                "--results_dir", str(tmp_path / "res"),
+                "--niters", "10", "--nonlins", "gauss"])
+    assert os.path.exists(os.path.join(tmp_path, "res", "ct_sweep_table.md"))
+
+
 def test_occupancy_app(tmp_path):
     # gauss converges within a smoke-test budget; wire at the reference's
     # occupancy hyperparameters (omega 20, sigma 10) needs the reference's
