@@ -358,15 +358,23 @@ real_mlp_fused.defvjp(_fwd, _bwd)
 # ===========================================================================
 # One-pass fused TRAIN-STEP kernel (the real-family analogue of
 # ops/pallas/wire_step.py): forward, in-kernel MSE loss-gradient, and
-# backward in a single Pallas call.  The forward's (z, a) pairs stay live
-# in VMEM when the backward starts — no recompute pass, no HBM residual
-# traffic — and dcoords is not emitted (training never uses it).  Loss
-# semantics match the trainer's chunk_loss:
+# backward in a single Pallas call, cross-tile software-pipelined:
+#
+#     grid step i:  forward(tile i)    -> live (z, a) to scratch slot i%2
+#                   backward(tile i-1) <- scratch slot (i-1)%2
+#
+# with grid = n_tiles + 1.  Weight grads accumulate into VMEM scratch with
+# UNCONDITIONAL `+=` (zeroed at step 0, flushed at the last step): pl.when
+# regions between GEMMs are scheduling barriers, and the fwd/bwd streams
+# touch different tiles so the scheduler fills one chain's dependency
+# stalls with the other's GEMMs (see wire_step.py and tools/exp_accvar.py
+# for the measurements).  dcoords is not emitted (training never uses it).
+# Loss semantics match the trainer's chunk_loss:
 #     loss = sum_{rows < nvalid} (y - t)^2 / denom
 # with invalid (permutation-padding) rows contiguous at the tail.
 # ===========================================================================
 
-def _make_step_kernel(L, kinds, tile_n):
+def _make_step_kernel(L, kinds, tile_n, n_tiles):
     def kernel(*refs):
         c_ref, t_ref, nv_ref, invd_ref = refs[:4]
         ws = [refs[4 + 3 * i][:] for i in range(L)]
@@ -374,50 +382,90 @@ def _make_step_kernel(L, kinds, tile_n):
         betas = [refs[6 + 3 * i][:] for i in range(L)]
         wf = refs[4 + 3 * L][:]
         bf = refs[5 + 3 * L][:]
-        outs = refs[6 + 3 * L:]
-        y_ref = outs[0]
-        dws = outs[1:1 + L]
-        dals = outs[1 + L:1 + 2 * L]
-        dbes = outs[1 + 2 * L:1 + 3 * L]
-        dwf_ref = outs[1 + 3 * L]
-        dbf_ref = outs[2 + 3 * L]
+        k0 = 6 + 3 * L
+        y_ref = refs[k0]
+        douts = refs[k0 + 1:k0 + 1 + 3 * L + 2]
+        sk = k0 + 1 + 3 * L + 2
+        daccs = refs[sk:sk + 3 * L + 2]
+        dws = daccs[0:L]
+        dals = daccs[L:2 * L]
+        dbes = daccs[2 * L:3 * L]
+        dwf_ref = daccs[3 * L]
+        dbf_ref = daccs[3 * L + 1]
+        live = refs[sk + 3 * L + 2:]
+        sc_c = live[0]
+        sc_z = live[1:1 + L]
+        sc_a = live[1 + L:1 + 2 * L]
+        sc_g = live[1 + 2 * L]
+
         i = pl.program_id(0)
+        sf = jax.lax.rem(i, 2)       # fwd writes slot i%2
+        sb = jax.lax.rem(i + 1, 2)   # bwd reads slot (i-1)%2
 
-        c = c_ref[:]
-        acts, y = _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds)
-        y_ref[:] = y
-
-        rows = i * tile_n + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (tile_n, 1), 0)
-        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
-        g = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+        @pl.when(i == 0)
+        def _zero():
+            for ref in daccs:
+                ref[:] = jnp.zeros_like(ref)
+            # slot 1 feeds step 0's phantom backward: zeros in -> exact
+            # zeros accumulated
+            for ref in live:
+                ref[1] = jnp.zeros_like(ref[1])
 
         def acc(ref, val):
-            @pl.when(i == 0)
-            def _():
-                ref[:] = val
+            # unconditional VMEM accumulate: no control-flow region in the
+            # hot body
+            ref[:] += val
 
-            @pl.when(i != 0)
-            def _():
-                ref[:] += val
+        # ---- fwd(tile i) hand-interleaved with bwd(tile i-1) -------------
+        c = c_ref[:]
+        sc_c[sf] = c
 
-        a_last = acts[-1][1]
-        acc(dwf_ref, _dot_tn(a_last, g))
-        acc(dbf_ref, jnp.sum(g, axis=0, keepdims=True))
-        da = _dot_nt(g, wf)
-        for li in range(L - 1, -1, -1):
-            z, _ = acts[li]
-            _, dB = _basis(kinds[li])
+        g_b = sc_g[sb]
+        a_last_b = sc_a[L - 1][sb]
+        acc(dwf_ref, _dot_tn(a_last_b, g_b))
+        da = _dot_nt(g_b, wf)
+        acc(dbf_ref, jnp.sum(g_b, axis=0, keepdims=True))
+
+        a = c
+        for li in range(L):
+            # fwd layer li of tile i ...
+            B, _ = _basis(kinds[li])
+            z = _dot(a, ws[li])
+            sc_z[li][sf] = z
+
+            # ... zipped with bwd layer L-1-li of tile i-1
+            bj = L - 1 - li
+            z_b = sc_z[bj][sb]
+            _, dB = _basis(kinds[bj])
+            v_b = alphas[bj] * z_b + betas[bj]
+            dv = dB(v_b) * da
+            dz = alphas[bj] * dv
+
             v = alphas[li] * z + betas[li]
-            dv = dB(v) * da
-            dz = alphas[li] * dv
-            acc(dals[li], jnp.sum(z * dv, axis=0, keepdims=True))
-            acc(dbes[li], jnp.sum(dv, axis=0, keepdims=True))
-            a_prev = c if li == 0 else acts[li - 1][1]
-            acc(dws[li], _dot_tn(a_prev, dz))
-            if li > 0:
-                da = _dot_nt(dz, ws[li])
+            a = B(v)
+            sc_a[li][sf] = a
+
+            acc(dals[bj], jnp.sum(z_b * dv, axis=0, keepdims=True))
+            acc(dbes[bj], jnp.sum(dv, axis=0, keepdims=True))
+            a_prev_b = sc_c[sb] if bj == 0 else sc_a[bj - 1][sb]
+            acc(dws[bj], _dot_tn(a_prev_b, dz))
+            if bj > 0:
+                da = _dot_nt(dz, ws[bj])
         # no dcoords: the first-layer data-grad GEMM is skipped entirely
+
+        # fwd epilogue: final layer + in-kernel loss grad for tile i
+        y = _dot(a, wf) + bf
+        y_ref[:] = y
+        tile = jnp.minimum(i, n_tiles - 1)
+        rows = (tile * tile_n
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
+        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
+        sc_g[sf] = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+
+        @pl.when(i == n_tiles)
+        def _flush():
+            for dref, sref in zip(douts, daccs):
+                dref[:] = sref[:]
     return kernel
 
 
@@ -448,9 +496,15 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
         return pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    in_specs = [pl.BlockSpec((STEP_TILE_N, d), lambda i: (i, 0),
+    # clamped tile index: the final grid step (i == n_tiles) re-fetches the
+    # last tile and rewrites its (identical) y block while running the real
+    # last backward
+    def imap(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    in_specs = [pl.BlockSpec((STEP_TILE_N, d), imap,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((STEP_TILE_N, op), lambda i: (i, 0),
+                pl.BlockSpec((STEP_TILE_N, op), imap,
                              memory_space=pltpu.VMEM),
                 sspec(), sspec()]
     for i in range(L):
@@ -458,35 +512,44 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
                      fullspec((1, wp[i]))]
     in_specs += [fullspec(f_shape), fullspec((1, op))]
 
-    out_specs = [pl.BlockSpec((STEP_TILE_N, op), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((STEP_TILE_N, op), imap,
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((n_tiles * STEP_TILE_N, op),
                                        jnp.float32)]
+    acc_shapes = []
     for i in range(L):
-        out_specs.append(fullspec(w_shapes[i]))
-        out_shapes.append(jax.ShapeDtypeStruct(w_shapes[i], jnp.float32))
+        acc_shapes.append(w_shapes[i])
     for i in range(L):
-        out_specs.append(fullspec((1, wp[i])))
-        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
+        acc_shapes.append((1, wp[i]))
     for i in range(L):
-        out_specs.append(fullspec((1, wp[i])))
-        out_shapes.append(jax.ShapeDtypeStruct((1, wp[i]), jnp.float32))
-    out_specs += [fullspec(f_shape), fullspec((1, op))]
-    out_shapes += [jax.ShapeDtypeStruct(f_shape, jnp.float32),
-                   jax.ShapeDtypeStruct((1, op), jnp.float32)]
+        acc_shapes.append((1, wp[i]))
+    acc_shapes += [f_shape, (1, op)]
+    for s in acc_shapes:
+        out_specs.append(fullspec(s))
+        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+
+    # scratch: gradient accumulators + double-buffered live activations
+    scratch = [pltpu.VMEM(s, jnp.float32) for s in acc_shapes]
+    scratch.append(pltpu.VMEM((2, STEP_TILE_N, d), jnp.float32))   # c
+    for i in range(L):
+        scratch.append(pltpu.VMEM((2, STEP_TILE_N, wp[i]), jnp.float32))
+    for i in range(L):
+        scratch.append(pltpu.VMEM((2, STEP_TILE_N, wp[i]), jnp.float32))
+    scratch.append(pltpu.VMEM((2, STEP_TILE_N, op), jnp.float32))  # g
 
     step = pl.pallas_call(
-        _make_step_kernel(L, kinds, STEP_TILE_N),
-        grid=(n_tiles,),
+        _make_step_kernel(L, kinds, STEP_TILE_N, n_tiles),
+        grid=(n_tiles + 1,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
-        # grad accumulators revisit output blocks every grid step: the grid
-        # must execute sequentially
+        # grad accumulators and live-activation slots persist across grid
+        # steps: the grid must execute sequentially
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
     )
     return step, wp, op
 

@@ -1,4 +1,5 @@
-"""One-pass fused TRAIN-STEP Pallas kernel for the WIRE complex-Gabor MLP.
+"""One-pass fused TRAIN-STEP Pallas kernel for the WIRE complex-Gabor MLP,
+cross-tile software-pipelined.
 
 The separate fwd/bwd kernel pair in wire_mlp.py pays the forward twice per
 training step: once to produce predictions and once recomputed inside the
@@ -7,12 +8,39 @@ a single fusable computation:
 
     y = f(params, coords);  dL/dy = 2·mask·(y - target)/denom;  dparams
 
-so this kernel does all three in ONE Pallas call per coordinate tile: the
-forward's pre-activations stay live in VMEM when the backward starts (no
-recompute, no HBM residual traffic), the MSE loss-gradient is computed
-in-kernel from the target tile, and weight gradients accumulate across the
+so this kernel does all three in ONE Pallas call: forward, in-kernel MSE
+loss-gradient, and backward, with weight gradients accumulated across the
 sequential grid.  dcoords is not emitted (training never uses it), which
 also drops the first-layer data-grad GEMM.
+
+Two scheduling facts (measured on v5e, tools/exp_chain.py + exp_accvar.py)
+shape the structure:
+
+1. **Region boundaries are scheduling barriers.**  `pl.when`-guarded
+   accumulator writes interleaved with the GEMMs stop the Mosaic scheduler
+   from overlapping MXU work across them.  Weight grads therefore
+   accumulate into VMEM *scratch* with unconditional `+=` (zeroed once at
+   grid step 0, flushed to the outputs once at the last step) — the hot
+   body has no control flow at all.
+
+2. **A dependent GEMM chain stalls the MXU; two independent chains run at
+   ~the independent-GEMM rate** (chain microbench: 1 chain 1.01ms, 2
+   chains 0.713ms at equal MACs).  The grid is therefore software-
+   pipelined across coordinate tiles:
+
+       grid step i:  forward(tile i)    + loss-grad, live activations
+                                          -> VMEM scratch slot i%2
+                     backward(tile i-1) <- scratch slot (i-1)%2
+
+   with grid = n_tiles + 1; the fwd and bwd instruction streams touch
+   different tiles, so they are hand-interleaved in program order and the
+   scheduler fills each chain's dependency stalls with the other's work.
+   Step 0's phantom backward consumes zeroed scratch (accumulates exact
+   zeros); step n_tiles' phantom forward recomputes the last tile (its
+   y-block rewrite is identical).  Net win vs the serial one-pass kernel
+   (same-session head-to-head): ~7% (3.02 -> 2.81 ms at the 65536-coord
+   WIRE-300 headline config; real families 1.04 -> 0.95 ms); gradients
+   bitwise-identical.
 
 Complex GEMMs use the STACKED layout: a complex matmul
 (ar + i·ai) @ (wr + i·wi) is four (h, h) real GEMMs, but stacking
@@ -42,20 +70,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wire_tpu.ops.pallas.wire_mlp import (_gabor, _gabor_first, _make_dot,
-                                          _round_up)
+from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
 
 # Coordinate rows per grid step.  Swept on v5e at the headline config
 # (65536 coords, h=212->256): 256/512/1024/2048 -> 15.8/18.2/19.0/17.3
 # Mcoords/s; 4096 exceeds the raised VMEM cap.
 TILE_N = 1024
-
-# Independent row-group streams per tile.  The layer chain is serially
-# dependent (GEMM -> VPU transcendentals -> GEMM); processing S independent
-# row groups stage-interleaved gives the Mosaic scheduler independent MXU
-# and VPU work to overlap, hiding the dependency stalls that cap the
-# single-stream kernel at ~37% of MXU peak.
-N_STREAMS = 1
 
 
 def _pad_params_stacked(params, L, hp, op):
@@ -118,134 +138,136 @@ def _unstack_grads(dw, params, L, h, hp, o):
 
 
 def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                      tile_n, hp, streams=1):
+                      tile_n, hp, n_tiles):
     _dot, _dot_tn, _dot_nt = _make_dot(precision)
     s2 = sigma0 * sigma0
-    S = streams
-    rows_per = tile_n // S
 
     def kernel(*refs):
         c_ref, t_ref, nv_ref, invd_ref = refs[:4]
         w = {nm: refs[4 + k][:] for k, nm in enumerate(names)}
-        outs = refs[4 + len(names):]
-        y_ref = outs[0]
-        dacc = {nm: outs[1 + k] for k, nm in enumerate(names)}
+        k0 = 4 + len(names)
+        y_ref = refs[k0]
+        dout = {nm: refs[k0 + 1 + k] for k, nm in enumerate(names)}
+        sk = k0 + 1 + len(names)
+        dacc = {nm: refs[sk + k] for k, nm in enumerate(names)}
+        live = refs[sk + len(names):]
+        # live-activation scratch, 2 slots each: c, z1, (a_in, zr, zi) x L,
+        # a_fin, g
+        sc_c, sc_z1 = live[0], live[1]
+        sc_layer = [(live[2 + 3 * li], live[3 + 3 * li], live[4 + 3 * li])
+                    for li in range(L)]
+        sc_afin, sc_g = live[2 + 3 * L], live[3 + 3 * L]
+
         i = pl.program_id(0)
+        sf = jax.lax.rem(i, 2)       # fwd writes slot i%2
+        sb = jax.lax.rem(i + 1, 2)   # bwd reads slot (i-1)%2
 
-        def rows_of(ref, s):
-            return ref[pl.ds(s * rows_per, rows_per), :]
+        @pl.when(i == 0)
+        def _zero():
+            for nm in names:
+                dacc[nm][:] = jnp.zeros_like(dacc[nm])
+            # slot 1 feeds step 0's phantom backward: zeros in -> exact
+            # zeros accumulated
+            for ref in live:
+                ref[1] = jnp.zeros_like(ref[1])
 
-        # ---- forward, keeping (input activation, pre-activation) live ----
-        # Each stage loops over the S independent row-group streams before
-        # advancing, so stream s+1's GEMM can occupy the MXU while stream
-        # s's transcendentals run on the VPU.
-        c = [rows_of(c_ref, s) for s in range(S)]
-        z1 = [_dot(c[s], w["w1"]) + w["b1"] for s in range(S)]
-        a = []
-        for s in range(S):
-            m0 = jnp.exp(-s2 * (z1[s] * z1[s]))
-            a.append(jnp.concatenate(
-                [m0 * jnp.cos(first_omega0 * z1[s]),
-                 m0 * jnp.sin(first_omega0 * z1[s])], axis=1))
-        live = []      # per hidden layer, per stream: (a_in, zr, zi); the
-        # gabor factors are NOT stored — the backward recovers (ar, ai)
-        # from the next layer's a_in, so each layer keeps 3 arrays live
-        # instead of 6 and the reverse sweep needs no transcendentals.
-        for li in range(L):
-            z = [_dot(a[s], w[f"h{li}W"]) + w[f"h{li}B"] for s in range(S)]
-            lay = []
-            nxt = []
-            for s in range(S):
-                zr, zi = z[s][:, :hp], z[s][:, hp:]
-                m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
-                lay.append((a[s], zr, zi))
-                nxt.append(jnp.concatenate(
-                    [m * jnp.cos(omega0 * zr),
-                     m * jnp.sin(omega0 * zr)], axis=1))
-            live.append(lay)
-            a = nxt
-        y = [_dot(a[s], w["fW"]) + w["fb"] for s in range(S)]
-        for s in range(S):
-            y_ref[pl.ds(s * rows_per, rows_per), :] = y[s]
-
-        # ---- in-kernel MSE loss-gradient ---------------------------------
-        # rows >= nvalid are permutation-padding sentinels (always tail-
-        # contiguous); their gradient contribution must be exactly zero.
-        g = []
-        for s in range(S):
-            rows = (i * tile_n + s * rows_per
-                    + jax.lax.broadcasted_iota(jnp.int32, (rows_per, 1), 0))
-            mask = (rows < nv_ref[0, 0]).astype(y[s].dtype)
-            g.append((2.0 * invd_ref[0, 0]) * mask * (y[s] - rows_of(t_ref, s)))
-
-        # ---- backward on the live activations ----------------------------
         def acc(nm, val):
-            @pl.when(i == 0)
-            def _():
-                dacc[nm][:] = val
+            # unconditional VMEM accumulate: no control-flow region, so the
+            # scheduler can interleave MXU work across it
+            dacc[nm][:] += val
 
-            @pl.when(i != 0)
-            def _():
-                dacc[nm][:] += val
+        # ---- fwd(tile i) hand-interleaved with bwd(tile i-1) -------------
+        c = c_ref[:]
+        sc_c[sf] = c
+        z1 = _dot(c, w["w1"]) + w["b1"]
 
-        def accsum(parts):
-            out = parts[0]
-            for p in parts[1:]:
-                out = out + p
-            return out
+        g_b = sc_g[sb]
+        afin_b = sc_afin[sb]
+        acc("fW", _dot_tn(afin_b, g_b))
+        da = _dot_nt(g_b, w["fW"])
 
-        acc("fW", accsum([_dot_tn(a[s], g[s]) for s in range(S)]))
-        acc("fb", accsum([jnp.sum(g[s], axis=0, keepdims=True)
-                          for s in range(S)]))
-        da = [_dot_nt(g[s], w["fW"]) for s in range(S)]
+        sc_z1[sf] = z1
+        m0 = jnp.exp(-s2 * (z1 * z1))
+        a = jnp.concatenate([m0 * jnp.cos(first_omega0 * z1),
+                             m0 * jnp.sin(first_omega0 * z1)], axis=1)
+        acc("fb", jnp.sum(g_b, axis=0, keepdims=True))
 
         # Gabor backward in activation form: with (ar, ai) the layer's own
-        # output activation (= the NEXT layer's a_in, so it's already live)
-        # and dL/d(ar,ai) = (dar, dai),
+        # output activation (stored as the NEXT layer's a_in) and
+        # dL/d(ar,ai) = (dar, dai),
         #   t1 = dar*ar + dai*ai        (= dm·m, the modulus channel)
         #   t2 = dai*ar - dar*ai        (= m·dphase, the phase channel)
         #   dzr = -2σ²·zr·t1 + ω₀·t2
         #   dzi = (-ω₀ - 2σ²·zi)·t1
         # — algebraically identical to the m/cos/sin form but ~25% fewer
         # VPU ops and no transcendentals in the reverse sweep.
-        a_out = a
-        for li in range(L - 1, -1, -1):
-            dz = []
-            for s in range(S):
-                a_in, zr, zi = live[li][s]
-                ar, ai = a_out[s][:, :hp], a_out[s][:, hp:]
-                dar, dai = da[s][:, :hp], da[s][:, hp:]
-                t1 = dar * ar + dai * ai
-                t2 = dai * ar - dar * ai
-                dzr = (-2.0 * s2) * zr * t1 + omega0 * t2
-                dzi = (-omega0 - (2.0 * s2) * zi) * t1
-                dz.append(jnp.concatenate([dzr, dzi], axis=1))
-            acc(f"h{li}W", accsum([_dot_tn(live[li][s][0], dz[s])
-                                   for s in range(S)]))
-            acc(f"h{li}B", accsum([jnp.sum(dz[s], axis=0, keepdims=True)
-                                   for s in range(S)]))
-            da = [_dot_nt(dz[s], w[f"h{li}W"]) for s in range(S)]
-            a_out = [live[li][s][0] for s in range(S)]
+        a_out_b = afin_b
+        for li in range(L):
+            # fwd hidden layer li of tile i ...
+            sc_layer[li][0][sf] = a
+            z = _dot(a, w[f"h{li}W"]) + w[f"h{li}B"]
 
-        dz1 = []
-        for s in range(S):
-            # a_out is now the first-layer activation (m0·cos0 | m0·sin0)
-            ar, ai = a_out[s][:, :hp], a_out[s][:, hp:]
-            dar, dai = da[s][:, :hp], da[s][:, hp:]
-            t1 = dar * ar + dai * ai
-            t2 = dai * ar - dar * ai
-            dz1.append((-2.0 * s2) * z1[s] * t1 + first_omega0 * t2)
-        acc("w1", accsum([_dot_tn(c[s], dz1[s]) for s in range(S)]))
-        acc("b1", accsum([jnp.sum(dz1[s], axis=0, keepdims=True)
-                          for s in range(S)]))
+            # ... zipped with bwd hidden layer L-1-li of tile i-1
+            bj = L - 1 - li
+            a_in_b = sc_layer[bj][0][sb]
+            zr_b = sc_layer[bj][1][sb]
+            zi_b = sc_layer[bj][2][sb]
+            ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+            dar, dai = da[:, :hp], da[:, hp:]
+            t1 = dar * ar_b + dai * ai_b
+            t2 = dai * ar_b - dar * ai_b
+            dzr = (-2.0 * s2) * zr_b * t1 + omega0 * t2
+            dzi = (-omega0 - (2.0 * s2) * zi_b) * t1
+            dz = jnp.concatenate([dzr, dzi], axis=1)
+
+            zr, zi = z[:, :hp], z[:, hp:]
+            sc_layer[li][1][sf] = zr
+            sc_layer[li][2][sf] = zi
+
+            acc(f"h{bj}W", _dot_tn(a_in_b, dz))
+            m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
+            acc(f"h{bj}B", jnp.sum(dz, axis=0, keepdims=True))
+            da = _dot_nt(dz, w[f"h{bj}W"])
+            a = jnp.concatenate([m * jnp.cos(omega0 * zr),
+                                 m * jnp.sin(omega0 * zr)], axis=1)
+            a_out_b = a_in_b
+
+        # fwd epilogue: final layer of tile i
+        sc_afin[sf] = a
+        y = _dot(a, w["fW"]) + w["fb"]
+        y_ref[:] = y
+
+        # bwd epilogue: first layer of tile i-1
+        z1_b = sc_z1[sb]
+        ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+        dar, dai = da[:, :hp], da[:, hp:]
+        t1 = dar * ar_b + dai * ai_b
+        t2 = dai * ar_b - dar * ai_b
+        dz1 = (-2.0 * s2) * z1_b * t1 + first_omega0 * t2
+        acc("w1", _dot_tn(sc_c[sb], dz1))
+        acc("b1", jnp.sum(dz1, axis=0, keepdims=True))
         # no dcoords: training never differentiates w.r.t. the grid
+
+        # ---- in-kernel MSE loss-gradient for tile i (consumed at i+1) ----
+        # rows >= nvalid are permutation-padding sentinels (always tail-
+        # contiguous); their gradient contribution must be exactly zero.
+        tile = jnp.minimum(i, n_tiles - 1)
+        rows = (tile * tile_n
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
+        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
+        sc_g[sf] = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+
+        @pl.when(i == n_tiles)
+        def _flush():
+            for nm in names:
+                dout[nm][:] = dacc[nm][:]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
 def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
-                  interpret, precision="default", streams=1):
+                  interpret, precision="default"):
     hp = _round_up(h, 128)
     op = _round_up(max(o, 1), 128)
     names = ["w1", "b1"]
@@ -268,28 +290,44 @@ def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
         return pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
+    # clamped tile index: the final grid step (i == n_tiles) re-fetches the
+    # last tile and rewrites its (identical) y block while running the real
+    # last backward
+    def imap(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    scratch = [pltpu.VMEM(shapes[nm], jnp.float32) for nm in names]
+    scratch += [pltpu.VMEM((2, tile_n, d), jnp.float32),       # c
+                pltpu.VMEM((2, tile_n, hp), jnp.float32)]      # z1
+    for _ in range(L):
+        scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),  # a_in
+                    pltpu.VMEM((2, tile_n, hp), jnp.float32),      # zr
+                    pltpu.VMEM((2, tile_n, hp), jnp.float32)]      # zi
+    scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),      # a_fin
+                pltpu.VMEM((2, tile_n, op), jnp.float32)]          # g
+
     step = pl.pallas_call(
         _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                          tile_n, hp, streams=streams),
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tile_n, op), lambda i: (i, 0),
+                          tile_n, hp, n_tiles),
+        grid=(n_tiles + 1,),
+        in_specs=[pl.BlockSpec((tile_n, d), imap, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_n, op), imap,
                                memory_space=pltpu.VMEM),
                   sspec(), sspec()]
                  + [wspec(nm) for nm in names],
-        out_specs=[pl.BlockSpec((tile_n, op), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((tile_n, op), imap,
                                 memory_space=pltpu.VMEM)]
                   + [wspec(nm) for nm in names],
         out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32)]
                   + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
                      for nm in names],
+        scratch_shapes=scratch,
         interpret=interpret,
-        # weight-grad accumulators are revisited every grid step -> the grid
-        # must execute sequentially ("arbitrary")
+        # weight-grad accumulators and live-activation slots persist across
+        # grid steps -> the grid must execute sequentially ("arbitrary")
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
     )
     return step, names, hp, op
 
@@ -311,11 +349,10 @@ def wire_step_fused(params, coords, target, spec, *, nvalid=None,
     L = spec.hidden_layers
     n_pad = _round_up(n, TILE_N)
     n_tiles = n_pad // TILE_N
-    streams = N_STREAMS if TILE_N % max(N_STREAMS, 1) == 0 else 1
     step, names, hp, op = _step_program(
         L, float(spec.hidden_omega0), float(spec.scale),
         float(spec.first_omega0), d, h, o, TILE_N, n_tiles, interpret,
-        getattr(spec, "gemm_precision", "default"), streams)
+        getattr(spec, "gemm_precision", "default"))
     padded, _, _, _ = _pad_params_stacked(params, L, hp, op)
     cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     tpad = jnp.pad(target, ((0, n_pad - n), (0, op - o)))
