@@ -27,7 +27,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wire_tpu.train.trainer import (FitConfig, FitResult, make_optimizer,
-                                    _PROGRAMS)
+                                    track_best, _PROGRAMS)
 
 
 def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
@@ -114,11 +114,12 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
         mse_noisy = jax.lax.pmean(jnp.mean((lt - rec) ** 2), axis)
         mse_gt = jax.lax.pmean(jnp.mean((lgt - rec) ** 2), axis)
         tracked = mse_gt if track == "gt" else mse_noisy
+        # tracked is pmean'd -> is_best is uniform across devices, so the
+        # cond branches identically everywhere
         is_best = tracked < best_mse
         best_mse = jnp.where(is_best, tracked, best_mse)
-        best_rec = jnp.where(is_best, rec, best_rec)
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        best_rec, best_params = track_best(
+            is_best, (rec, params), (best_rec, best_params))
         return ((params, opt_state, rec, key, best_mse, best_rec,
                  best_params), (mse_gt, mse_noisy))
 
@@ -203,9 +204,8 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
         tracked = mse_gt if track == "gt" else mse_noisy
         is_best = tracked < best_mse
         best_mse = jnp.where(is_best, tracked, best_mse)
-        best_rec = jnp.where(is_best, rec, best_rec)
-        best_params = jax.tree.map(
-            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        best_rec, best_params = track_best(
+            is_best, (rec, params), (best_rec, best_params))
         return ((params, opt_state, rec, key, best_mse, best_rec,
                  best_params), (mse_gt, mse_noisy))
 

@@ -64,6 +64,18 @@ class FitResult:
     time_array: Optional[np.ndarray] = None
 
 
+def track_best(is_best, current, best):
+    """Best-so-far update for (pytrees of) buffers.
+
+    ``lax.cond`` instead of per-leaf ``jnp.where`` selects: non-improving
+    epochs (the common case late in a fit) skip the buffer copies entirely,
+    and improving epochs pay one copy instead of a select per leaf.
+    Measured 0.12 ms/epoch cheaper at the 65536-coord WIRE-300 headline
+    config (tools/exp_epoch_overhead.py).
+    """
+    return jax.lax.cond(is_best, lambda: current, lambda: best)
+
+
 def _lr_schedule(cfg: FitConfig, nchunks: int):
     base = cfg.learning_rate if np.isscalar(cfg.learning_rate) else 1.0
 
@@ -240,9 +252,7 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
                 params = optax.apply_updates(params, updates)
                 is_best = loss < best_loss
                 best_loss = jnp.where(is_best, loss, best_loss)
-                best_params = jax.tree.map(
-                    lambda b, p: jnp.where(is_best, p, b), best_params,
-                    params)
+                best_params = track_best(is_best, params, best_params)
                 return (params, opt_state, best_loss, best_params), loss
 
             def epoch(carry, _):
@@ -396,9 +406,8 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
             tracked = mse_gt if track == "gt" else mse_noisy
             is_best = tracked < best_mse
             best_mse = jnp.where(is_best, tracked, best_mse)
-            best_rec = jnp.where(is_best, rec, best_rec)
-            best_params = jax.tree.map(
-                lambda b, p: jnp.where(is_best, p, b), best_params, params)
+            best_rec, best_params = track_best(
+                is_best, (rec, params), (best_rec, best_params))
             extra = epoch_metric(rec) if epoch_metric is not None else 0.0
             return ((params, opt_state, rec, key, best_mse, best_rec,
                      best_params), (mse_gt, mse_noisy, extra))
@@ -453,10 +462,8 @@ def fit_operator(model, params, coords, measurement, operator_fn,
                     tracked = loss
                 is_best = tracked < best_loss
                 best_loss = jnp.where(is_best, tracked, best_loss)
-                best_field = jnp.where(is_best, field, best_field)
-                best_params = jax.tree.map(
-                    lambda b, p: jnp.where(is_best, p, b), best_params,
-                    params)
+                best_field, best_params = track_best(
+                    is_best, (field, params), (best_field, best_params))
                 return (params, opt_state, best_loss, best_field,
                         best_params), (loss, tracked)
 
