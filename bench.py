@@ -33,7 +33,11 @@ def main():
     from wire_tpu.train.trainer import FitConfig, fit_pointwise
 
     H = W = 256
-    niters = int(os.environ.get("BENCH_EPOCHS", 200))
+    # 2000 epochs = the reference denoise config's niters
+    # (wire_image_denoise.py / the CONFIGS presets); it also amortizes the
+    # ~0.1 s fixed dispatch/transfer cost of the tunneled backend, so the
+    # number reflects steady-state training throughput.
+    niters = int(os.environ.get("BENCH_EPOCHS", 2000))
     im = I.synthetic_image(H, W, 3, seed=0)
     rng = np.random.RandomState(0)
     im_noisy = N.measure_np(im, noise_snr=2, tau=30.0, rng=rng).astype(
