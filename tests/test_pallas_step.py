@@ -161,3 +161,87 @@ def test_mscale_hl_detach_split_uses_fallback():
     np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_fb))
     for a, b in zip(jax.tree.leaves(g_fb), jax.tree.leaves(g_k)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel epoch metrics (want_metrics=True): masked squared-error sums vs
+# the fitting target and the clean gt, accumulated inside the step kernels.
+# ---------------------------------------------------------------------------
+
+def _ref_sums(pred, target, gt, nvalid):
+    pred = np.asarray(pred)
+    m = (np.arange(pred.shape[0])[:, None] < nvalid)
+    et = (pred - np.asarray(target)) * m
+    eg = (pred - np.asarray(gt)) * m
+    return float(np.sum(et * et)), float(np.sum(eg * eg))
+
+
+@pytest.mark.parametrize("fam,kw", [
+    ("wire", dict(first_omega0=7.0, hidden_omega0=7.0, scale=8.0)),
+    ("gauss", dict(scale=8.0)),
+    ("siren", dict(first_omega0=7.0, hidden_omega0=7.0)),
+], ids=["wire", "gauss", "siren"])
+def test_step_metrics_sums(fam, kw):
+    """want_metrics sums match a direct masked computation, and the extra
+    outputs leave predictions/grads untouched — kernel (fused='always',
+    interpret) and autodiff fallback both."""
+    rng = np.random.default_rng(1)
+    coords = jnp.asarray(rng.uniform(-1, 1, (640, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (640, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (640, 3)).astype(np.float32))
+    for fused in ("always", "never"):
+        m = get_inr(fam, in_features=2, out_features=3, hidden_features=64,
+                    hidden_layers=2, fused=fused, **kw)
+        params = m.init(jax.random.key(0))
+        for nv in (None, 500):
+            dn = None if nv is None else nv * 3.0
+            pred0, g0 = m.step_grads(params, coords, target,
+                                     nvalid=nv, denom=dn)
+            pred, g, (st, sg) = m.step_grads(params, coords, target,
+                                             nvalid=nv, denom=dn, gt=gt,
+                                             want_metrics=True)
+            np.testing.assert_array_equal(np.asarray(pred),
+                                          np.asarray(pred0))
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g)):
+                np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+            rt, rg = _ref_sums(pred, target, gt,
+                               640 if nv is None else nv)
+            np.testing.assert_allclose(float(st), rt, rtol=1e-5)
+            np.testing.assert_allclose(float(sg), rg, rtol=1e-5)
+            # gt defaults to target
+            _, _, (st2, sg2) = m.step_grads(params, coords, target,
+                                            nvalid=nv, denom=dn,
+                                            want_metrics=True)
+            np.testing.assert_allclose(float(st2), float(sg2), rtol=0)
+
+
+def test_trainer_metrics_match_rec_reduction():
+    """fit_pointwise epoch metric histories from the in-kernel sums match
+    the autodiff path's XLA-side sums, full-batch and chunked — gradient
+    and metric parity across the whole fit."""
+    from wire_tpu.train.trainer import FitConfig, fit_pointwise
+    from wire_tpu.signals import coords as C
+
+    rng = np.random.default_rng(0)
+    H = W = 24
+    gt = rng.uniform(0, 1, (H * W, 2)).astype(np.float32)
+    noisy = gt + rng.normal(0, 0.05, gt.shape).astype(np.float32)
+    grid = C.grid2d(H, W)
+
+    for mp in (H * W, 200):
+        m = get_inr("gauss", in_features=2, out_features=2,
+                    hidden_features=32, hidden_layers=1, scale=8.0,
+                    fused="always")
+        cfg = FitConfig(learning_rate=5e-3, niters=8, maxpoints=mp)
+        params = m.init(jax.random.key(0))
+        r_sum = fit_pointwise(m, params, grid, noisy, cfg, gt=gt,
+                              donate=False)
+        m_fb = get_inr("gauss", in_features=2, out_features=2,
+                       hidden_features=32, hidden_layers=1, scale=8.0,
+                       fused="never")
+        r_rec = fit_pointwise(m_fb, params, grid, noisy, cfg, gt=gt,
+                              donate=False)
+        np.testing.assert_allclose(r_sum.mse_gt, r_rec.mse_gt,
+                                   rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(r_sum.mse_noisy, r_rec.mse_noisy,
+                                   rtol=2e-4, atol=1e-7)

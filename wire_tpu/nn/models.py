@@ -102,7 +102,8 @@ class INR:
     def apply(self, params, coords, **kw):
         return self._apply(params, coords, self.spec, **kw)
 
-    def step_grads(self, params, coords, target, *, nvalid=None, denom=None):
+    def step_grads(self, params, coords, target, *, nvalid=None, denom=None,
+                   gt=None, want_metrics=False):
         """(pred, dparams) of ``loss = sum_{rows<nvalid}(pred-t)^2 / denom``
         — the trainer's per-step unit.  Families with a one-pass fused
         train-step kernel (WIRE) run fwd + loss-grad + bwd in a single
@@ -110,25 +111,42 @@ class INR:
         Invalid (padding) rows, if any, must be contiguous at the tail.
 
         nvalid defaults to n, denom to n*c (plain mean MSE); both may be
-        traced scalars."""
+        traced scalars.
+
+        want_metrics=True appends the masked squared-error sums
+        ``(sse_target, sse_gt)`` as a third return element (gt defaults to
+        target) — accumulated inside the fused kernel where one exists, so
+        the trainer's epoch metrics cost no extra pass over the
+        predictions."""
         if self._step is not None:
             out = self._step(params, coords, target, self.spec,
-                             nvalid=nvalid, denom=denom)
+                             nvalid=nvalid, denom=denom, gt=gt,
+                             want_metrics=want_metrics)
             if out is not None:
                 return out
         n, c = target.shape
         dn = float(n * c) if denom is None else denom
+        mask = None
+        if nvalid is not None:
+            mask = (jnp.arange(n)[:, None] < nvalid)
 
         def loss_fn(p):
             pred = self._apply(p, coords, self.spec)
             err = pred - target
-            if nvalid is not None:
-                mask = (jnp.arange(n)[:, None] < nvalid).astype(pred.dtype)
-                err = err * mask
+            if mask is not None:
+                err = err * mask.astype(pred.dtype)
             return jnp.sum(err * err) / dn, pred
 
         (_, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        return pred, grads
+        if not want_metrics:
+            return pred, grads
+        err_t = pred - target
+        err_g = err_t if gt is None else pred - gt
+        if mask is not None:
+            m = mask.astype(pred.dtype)
+            err_t = err_t * m
+            err_g = err_g * m
+        return pred, grads, (jnp.sum(err_t * err_t), jnp.sum(err_g * err_g))
 
     def num_params(self, params):
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -176,7 +194,7 @@ def wire_apply(params, coords, spec: INRSpec):
 
 
 def wire_step(params, coords, target, spec: INRSpec, *, nvalid=None,
-              denom=None):
+              denom=None, gt=None, want_metrics=False):
     """Dispatch to the one-pass fused train-step kernel
     (ops/pallas/wire_step.py) when the fused path applies; returns None
     otherwise so INR.step_grads falls back to autodiff of wire_apply."""
@@ -185,7 +203,8 @@ def wire_step(params, coords, target, spec: INRSpec, *, nvalid=None,
         if spec.fused == "always" or on_tpu:
             from wire_tpu.ops.pallas.wire_step import wire_step_fused
             return wire_step_fused(params, coords, target, spec,
-                                   nvalid=nvalid, denom=denom,
+                                   nvalid=nvalid, denom=denom, gt=gt,
+                                   want_metrics=want_metrics,
                                    interpret=not on_tpu)
     return None
 
@@ -287,17 +306,22 @@ def _make_real_step(kinds_of, canon_of, use_ok=None, pre=None):
     jax.vjp through it); use_ok(params, spec) gates family-specific
     fusability; pre(coords, spec) is an optional param-free input transform
     (posenc, repIN tiling)."""
-    def step(params, coords, target, spec, *, nvalid=None, denom=None):
+    def step(params, coords, target, spec, *, nvalid=None, denom=None,
+             gt=None, want_metrics=False):
         use, interpret = _use_fused(spec)
         if not use or (use_ok is not None and not use_ok(params, spec)):
             return None
         from wire_tpu.ops.pallas.real_mlp import real_step_fused
         x = coords if pre is None else pre(coords, spec)
         canon, vjp = jax.vjp(lambda p: canon_of(p, spec), params)
-        pred, dcanon = real_step_fused(canon, x, target,
-                                       tuple(kinds_of(spec)),
-                                       nvalid=nvalid, denom=denom,
-                                       interpret=interpret)
+        out = real_step_fused(canon, x, target, tuple(kinds_of(spec)),
+                              nvalid=nvalid, denom=denom, gt=gt,
+                              want_metrics=want_metrics,
+                              interpret=interpret)
+        if want_metrics:
+            pred, dcanon, sums = out
+            return pred, vjp(dcanon)[0], sums
+        pred, dcanon = out
         return pred, vjp(dcanon)[0]
     return step
 

@@ -374,25 +374,38 @@ real_mlp_fused.defvjp(_fwd, _bwd)
 # with invalid (permutation-padding) rows contiguous at the tail.
 # ===========================================================================
 
-def _make_step_kernel(L, kinds, tile_n, n_tiles):
+def _make_step_kernel(L, kinds, tile_n, n_tiles, metrics):
     def kernel(*refs):
-        c_ref, t_ref, nv_ref, invd_ref = refs[:4]
-        ws = [refs[4 + 3 * i][:] for i in range(L)]
-        alphas = [refs[5 + 3 * i][:] for i in range(L)]
-        betas = [refs[6 + 3 * i][:] for i in range(L)]
-        wf = refs[4 + 3 * L][:]
-        bf = refs[5 + 3 * L][:]
-        k0 = 6 + 3 * L
-        y_ref = refs[k0]
-        douts = refs[k0 + 1:k0 + 1 + 3 * L + 2]
-        sk = k0 + 1 + 3 * L + 2
-        daccs = refs[sk:sk + 3 * L + 2]
+        if metrics:
+            c_ref, t_ref, gt_ref, nv_ref, invd_ref = refs[:5]
+            refs = refs[5:]
+        else:
+            c_ref, t_ref, nv_ref, invd_ref = refs[:4]
+            gt_ref = None
+            refs = refs[4:]
+        ws = [refs[3 * i][:] for i in range(L)]
+        alphas = [refs[1 + 3 * i][:] for i in range(L)]
+        betas = [refs[2 + 3 * i][:] for i in range(L)]
+        wf = refs[3 * L][:]
+        bf = refs[1 + 3 * L][:]
+        refs = refs[2 + 3 * L:]
+        y_ref = refs[0]
+        refs = refs[1:]
+        m_ref = None
+        if metrics:
+            m_ref, refs = refs[0], refs[1:]
+        douts = refs[:3 * L + 2]
+        daccs = refs[3 * L + 2:2 * (3 * L + 2)]
+        refs = refs[2 * (3 * L + 2):]
+        sc_m = None
+        if metrics:
+            sc_m, refs = refs[0], refs[1:]
         dws = daccs[0:L]
         dals = daccs[L:2 * L]
         dbes = daccs[2 * L:3 * L]
         dwf_ref = daccs[3 * L]
         dbf_ref = daccs[3 * L + 1]
-        live = refs[sk + 3 * L + 2:]
+        live = refs
         sc_c = live[0]
         sc_z = live[1:1 + L]
         sc_a = live[1 + L:1 + 2 * L]
@@ -406,6 +419,8 @@ def _make_step_kernel(L, kinds, tile_n, n_tiles):
         def _zero():
             for ref in daccs:
                 ref[:] = jnp.zeros_like(ref)
+            if metrics:
+                sc_m[:] = jnp.zeros_like(sc_m)
             # slot 1 feeds step 0's phantom backward: zeros in -> exact
             # zeros accumulated
             for ref in live:
@@ -460,12 +475,26 @@ def _make_step_kernel(L, kinds, tile_n, n_tiles):
         rows = (tile * tile_n
                 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
         mask = (rows < nv_ref[0, 0]).astype(y.dtype)
-        sc_g[sf] = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+        err_t = mask * (y - t_ref[:])
+        sc_g[sf] = (2.0 * invd_ref[0, 0]) * err_t
+
+        if metrics:
+            # masked squared-error sums vs target (row 0) and gt (row 1);
+            # the phantom step's recomputed tile is weighted to zero (a
+            # scalar multiply, not a pl.when region — those are barriers)
+            w_live = (i < n_tiles).astype(y.dtype)
+            err_g = mask * (y - gt_ref[:])
+            sc_m[0:1] += w_live * jnp.sum(err_t * err_t, axis=0,
+                                          keepdims=True)
+            sc_m[1:2] += w_live * jnp.sum(err_g * err_g, axis=0,
+                                          keepdims=True)
 
         @pl.when(i == n_tiles)
         def _flush():
             for dref, sref in zip(douts, daccs):
                 dref[:] = sref[:]
+            if metrics:
+                m_ref[:] = sc_m[:]
     return kernel
 
 
@@ -476,7 +505,8 @@ STEP_TILE_N = 1024
 
 
 @functools.lru_cache(maxsize=64)
-def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
+def _step_programs(kinds, widths, out_dim, n_tiles, interpret,
+                   metrics=False):
     L = len(kinds)
     d = widths[0]
     wp = [_round_up(w, 128) for w in widths[1:]]
@@ -502,11 +532,13 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
     def imap(i):
         return (jnp.minimum(i, n_tiles - 1), 0)
 
+    tspec = pl.BlockSpec((STEP_TILE_N, op), imap, memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((STEP_TILE_N, d), imap,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((STEP_TILE_N, op), imap,
-                             memory_space=pltpu.VMEM),
-                sspec(), sspec()]
+                tspec]
+    if metrics:
+        in_specs.append(tspec)
+    in_specs += [sspec(), sspec()]
     for i in range(L):
         in_specs += [fullspec(w_shapes[i]), fullspec((1, wp[i])),
                      fullspec((1, wp[i]))]
@@ -516,6 +548,10 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
                               memory_space=pltpu.VMEM)]
     out_shapes = [jax.ShapeDtypeStruct((n_tiles * STEP_TILE_N, op),
                                        jnp.float32)]
+    if metrics:
+        out_specs.append(pl.BlockSpec((2, op), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((2, op), jnp.float32))
     acc_shapes = []
     for i in range(L):
         acc_shapes.append(w_shapes[i])
@@ -530,6 +566,8 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
 
     # scratch: gradient accumulators + double-buffered live activations
     scratch = [pltpu.VMEM(s, jnp.float32) for s in acc_shapes]
+    if metrics:
+        scratch.append(pltpu.VMEM((2, op), jnp.float32))  # metric sums
     scratch.append(pltpu.VMEM((2, STEP_TILE_N, d), jnp.float32))   # c
     for i in range(L):
         scratch.append(pltpu.VMEM((2, STEP_TILE_N, wp[i]), jnp.float32))
@@ -538,7 +576,7 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
     scratch.append(pltpu.VMEM((2, STEP_TILE_N, op), jnp.float32))  # g
 
     step = pl.pallas_call(
-        _make_step_kernel(L, kinds, STEP_TILE_N, n_tiles),
+        _make_step_kernel(L, kinds, STEP_TILE_N, n_tiles, metrics),
         grid=(n_tiles + 1,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -555,46 +593,63 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret):
 
 
 def real_step_fused(canon, coords, target, kinds, *, nvalid=None,
-                    denom=None, interpret=False):
+                    denom=None, gt=None, want_metrics=False,
+                    interpret=False):
     """One fused train step over the canonical real MLP: returns
     (pred, dcanon) for loss = sum_{rows<nvalid}(pred-t)^2 / denom.
     dcanon mirrors canon's structure, so callers recover native-family
-    param grads with jax.vjp through their canonicalization."""
+    param grads with jax.vjp through their canonicalization.
+
+    want_metrics=True appends the in-kernel masked squared-error sums
+    ``(sse_target, sse_gt)`` (gt defaults to target) — see
+    wire_step.wire_step_fused."""
     n, d = coords.shape
     L = len(kinds)
     widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
     out_dim = canon["final"]["b"].shape[-1]
     n_pad = _round_up(n, STEP_TILE_N)
     step, wp, op = _step_programs(tuple(kinds), widths, out_dim,
-                                  n_pad // STEP_TILE_N, interpret)
+                                  n_pad // STEP_TILE_N, interpret,
+                                  want_metrics)
     padded, wfp, bfp = _pad_canonical(canon, wp, op)
     nv = jnp.full((1, 1), n, jnp.int32) if nvalid is None else \
         jnp.asarray(nvalid, jnp.int32).reshape(1, 1)
     dn = jnp.asarray(float(n * out_dim) if denom is None else denom,
                      jnp.float32).reshape(1, 1)
     args = [jnp.pad(coords, ((0, n_pad - n), (0, 0))),
-            jnp.pad(target, ((0, n_pad - n), (0, op - out_dim))),
-            nv, 1.0 / dn]
+            jnp.pad(target, ((0, n_pad - n), (0, op - out_dim)))]
+    if want_metrics:
+        gt_arr = target if gt is None else gt
+        args.append(jnp.pad(gt_arr, ((0, n_pad - n), (0, op - out_dim))))
+    args += [nv, 1.0 / dn]
     for Wp, al, be in padded:
         args += [Wp, al, be]
     args += [wfp, bfp]
     outs = step(*args)
     pred = outs[0][:n, :out_dim]
+    k0 = 1
+    sums = None
+    if want_metrics:
+        m = outs[1]
+        sums = (jnp.sum(m[0]), jnp.sum(m[1]))
+        k0 = 2
     dlayers = []
     for i in range(L):
         win, wout = canon["layers"][i]["w"].shape
         dlayers.append({
-            "w": outs[1 + i][:win, :wout],
-            "alpha": outs[1 + L + i][0, :wout].reshape(
+            "w": outs[k0 + i][:win, :wout],
+            "alpha": outs[k0 + L + i][0, :wout].reshape(
                 canon["layers"][i]["alpha"].shape),
-            "beta": outs[1 + 2 * L + i][0, :wout].reshape(
+            "beta": outs[k0 + 2 * L + i][0, :wout].reshape(
                 canon["layers"][i]["beta"].shape),
         })
     h, o = canon["final"]["w"].shape
     dcanon = {
         "layers": dlayers,
-        "final": {"w": outs[1 + 3 * L][:h, :o],
-                  "b": outs[2 + 3 * L][0, :o].reshape(
+        "final": {"w": outs[k0 + 3 * L][:h, :o],
+                  "b": outs[k0 + 1 + 3 * L][0, :o].reshape(
                       canon["final"]["b"].shape)},
     }
+    if want_metrics:
+        return pred, dcanon, sums
     return pred, dcanon

@@ -138,19 +138,33 @@ def _unstack_grads(dw, params, L, h, hp, o):
 
 
 def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                      tile_n, hp, n_tiles):
+                      tile_n, hp, n_tiles, metrics):
     _dot, _dot_tn, _dot_nt = _make_dot(precision)
     s2 = sigma0 * sigma0
 
     def kernel(*refs):
-        c_ref, t_ref, nv_ref, invd_ref = refs[:4]
-        w = {nm: refs[4 + k][:] for k, nm in enumerate(names)}
-        k0 = 4 + len(names)
-        y_ref = refs[k0]
-        dout = {nm: refs[k0 + 1 + k] for k, nm in enumerate(names)}
-        sk = k0 + 1 + len(names)
-        dacc = {nm: refs[sk + k] for k, nm in enumerate(names)}
-        live = refs[sk + len(names):]
+        if metrics:
+            c_ref, t_ref, gt_ref, nv_ref, invd_ref = refs[:5]
+            refs = refs[5:]
+        else:
+            c_ref, t_ref, nv_ref, invd_ref = refs[:4]
+            gt_ref = None
+            refs = refs[4:]
+        w = {nm: refs[k][:] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        y_ref = refs[0]
+        refs = refs[1:]
+        m_ref = None
+        if metrics:
+            m_ref, refs = refs[0], refs[1:]
+        dout = {nm: refs[k] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        dacc = {nm: refs[k] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        sc_m = None
+        if metrics:
+            sc_m, refs = refs[0], refs[1:]
+        live = refs
         # live-activation scratch, 2 slots each: c, z1, (a_in, zr, zi) x L,
         # a_fin, g
         sc_c, sc_z1 = live[0], live[1]
@@ -166,6 +180,8 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
         def _zero():
             for nm in names:
                 dacc[nm][:] = jnp.zeros_like(dacc[nm])
+            if metrics:
+                sc_m[:] = jnp.zeros_like(sc_m)
             # slot 1 feeds step 0's phantom backward: zeros in -> exact
             # zeros accumulated
             for ref in live:
@@ -255,19 +271,37 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
         rows = (tile * tile_n
                 + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
         mask = (rows < nv_ref[0, 0]).astype(y.dtype)
-        sc_g[sf] = (2.0 * invd_ref[0, 0]) * mask * (y - t_ref[:])
+        err_t = mask * (y - t_ref[:])
+        sc_g[sf] = (2.0 * invd_ref[0, 0]) * err_t
+
+        if metrics:
+            # per-lane masked squared-error sums, accumulated across tiles
+            # (row 0 vs the fitting target, row 1 vs the clean gt) — the
+            # trainer's epoch metrics without any XLA-side reduction over
+            # the reconstruction buffer.  The phantom step (i == n_tiles)
+            # refetches tile n_tiles-1, so its contribution is weighted to
+            # exactly zero (a scalar multiply, not a pl.when region — those
+            # are scheduling barriers).
+            w_live = (i < n_tiles).astype(y.dtype)
+            err_g = mask * (y - gt_ref[:])
+            sc_m[0:1] += w_live * jnp.sum(err_t * err_t, axis=0,
+                                          keepdims=True)
+            sc_m[1:2] += w_live * jnp.sum(err_g * err_g, axis=0,
+                                          keepdims=True)
 
         @pl.when(i == n_tiles)
         def _flush():
             for nm in names:
                 dout[nm][:] = dacc[nm][:]
+            if metrics:
+                m_ref[:] = sc_m[:]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
 def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
-                  interpret, precision="default"):
+                  interpret, precision="default", metrics=False):
     hp = _round_up(h, 128)
     op = _round_up(max(o, 1), 128)
     names = ["w1", "b1"]
@@ -297,6 +331,8 @@ def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
         return (jnp.minimum(i, n_tiles - 1), 0)
 
     scratch = [pltpu.VMEM(shapes[nm], jnp.float32) for nm in names]
+    if metrics:
+        scratch += [pltpu.VMEM((2, op), jnp.float32)]          # metric sums
     scratch += [pltpu.VMEM((2, tile_n, d), jnp.float32),       # c
                 pltpu.VMEM((2, tile_n, hp), jnp.float32)]      # z1
     for _ in range(L):
@@ -306,19 +342,24 @@ def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
     scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),      # a_fin
                 pltpu.VMEM((2, tile_n, op), jnp.float32)]          # g
 
+    tspec = pl.BlockSpec((tile_n, op), imap, memory_space=pltpu.VMEM)
+    mspec = [pl.BlockSpec((2, op), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] if metrics else []
+    mshape = [jax.ShapeDtypeStruct((2, op), jnp.float32)] if metrics else []
     step = pl.pallas_call(
         _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
-                          tile_n, hp, n_tiles),
+                          tile_n, hp, n_tiles, metrics),
         grid=(n_tiles + 1,),
         in_specs=[pl.BlockSpec((tile_n, d), imap, memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tile_n, op), imap,
-                               memory_space=pltpu.VMEM),
-                  sspec(), sspec()]
+                  tspec] + ([tspec] if metrics else [])
+                 + [sspec(), sspec()]
                  + [wspec(nm) for nm in names],
         out_specs=[pl.BlockSpec((tile_n, op), imap,
                                 memory_space=pltpu.VMEM)]
+                  + mspec
                   + [wspec(nm) for nm in names],
         out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32)]
+                  + mshape
                   + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
                      for nm in names],
         scratch_shapes=scratch,
@@ -333,7 +374,8 @@ def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
 
 
 def wire_step_fused(params, coords, target, spec, *, nvalid=None,
-                    denom=None, interpret=False):
+                    denom=None, gt=None, want_metrics=False,
+                    interpret=False):
     """One fused train step: returns (pred, dparams) for
 
         loss = sum_{rows < nvalid} (pred - target)^2 / denom
@@ -342,6 +384,11 @@ def wire_step_fused(params, coords, target, spec, *, nvalid=None,
     (plain mean-MSE).  Both may be traced scalars (the trainer's chunk
     scan passes a data-dependent nvalid).  pred is returned for ALL rows
     (sentinel rows render coords as given; callers drop them).
+
+    want_metrics=True additionally returns the in-kernel accumulated
+    masked squared-error sums ``(sse_target, sse_gt)`` (scalars; gt
+    defaults to target) as a third element — the trainer's per-epoch
+    metrics with no XLA-side reduction over the prediction buffer.
     """
     n, d = coords.shape
     h = params["first"]["w"].shape[1]
@@ -352,7 +399,7 @@ def wire_step_fused(params, coords, target, spec, *, nvalid=None,
     step, names, hp, op = _step_program(
         L, float(spec.hidden_omega0), float(spec.scale),
         float(spec.first_omega0), d, h, o, TILE_N, n_tiles, interpret,
-        getattr(spec, "gemm_precision", "default"))
+        getattr(spec, "gemm_precision", "default"), want_metrics)
     padded, _, _, _ = _pad_params_stacked(params, L, hp, op)
     cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     tpad = jnp.pad(target, ((0, n_pad - n), (0, op - o)))
@@ -361,7 +408,20 @@ def wire_step_fused(params, coords, target, spec, *, nvalid=None,
     dn = jnp.asarray(float(n * o) if denom is None else denom,
                      jnp.float32).reshape(1, 1)
     invd = 1.0 / dn
-    outs = step(cpad, tpad, nv, invd, *[padded[nm] for nm in names])
+    args = [cpad, tpad]
+    if want_metrics:
+        gt_arr = target if gt is None else gt
+        args.append(jnp.pad(gt_arr, ((0, n_pad - n), (0, op - o))))
+    outs = step(*args, nv, invd, *[padded[nm] for nm in names])
     pred = outs[0][:n, :o]
-    dw = {nm: outs[1 + k] for k, nm in enumerate(names)}
-    return pred, _unstack_grads(dw, params, L, h, hp, o)
+    k0 = 1
+    sums = None
+    if want_metrics:
+        m = outs[1]
+        sums = (jnp.sum(m[0]), jnp.sum(m[1]))
+        k0 = 2
+    dw = {nm: outs[k0 + k] for k, nm in enumerate(names)}
+    dparams = _unstack_grads(dw, params, L, h, hp, o)
+    if want_metrics:
+        return pred, dparams, sums
+    return pred, dparams

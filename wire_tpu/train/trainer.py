@@ -353,13 +353,17 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
         # render, so it keeps the value_and_grad path
         use_step = (tv_weight == 0.0)
 
+        inv_nc = 1.0 / (npoints * target.shape[-1])
+
         def epoch_body(carry, _):
             (params, opt_state, rec, key, best_mse, best_rec,
              best_params) = carry
+            sums = None  # (sse_target, sse_gt) from the fused step kernel
             if full_batch:
                 if use_step:
-                    pred, grads = model.step_grads(params, coords, target)
-                    loss = jnp.mean((pred - target) ** 2)
+                    pred, grads, sums = model.step_grads(
+                        params, coords, target, gt=gt_arr,
+                        want_metrics=True)
                 else:
                     (loss, pred), grads = jax.value_and_grad(
                         full_batch_loss, has_aux=True)(params)
@@ -383,26 +387,33 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
                         safe = jnp.minimum(idx, npoints - 1)
                         denom = (nvalid.astype(jnp.float32)
                                  * target.shape[-1])
-                        pred, grads = model.step_grads(
+                        pred, grads, csums = model.step_grads(
                             params, coords[safe], target[safe],
-                            nvalid=nvalid, denom=denom)
-                        mask = (jnp.arange(mp)[:, None]
-                                < nvalid).astype(pred.dtype)
-                        err = (pred - target[safe]) * mask
-                        loss = jnp.sum(err * err) / denom
+                            nvalid=nvalid, denom=denom, gt=gt_arr[safe],
+                            want_metrics=True)
                     else:
-                        (loss, pred), grads = jax.value_and_grad(
+                        (_, pred), grads = jax.value_and_grad(
                             chunk_loss, has_aux=True)(params, idx)
+                        csums = (jnp.float32(0), jnp.float32(0))
                     updates, opt_state = tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
                     rec = rec.at[idx].set(pred, mode="drop")
-                    return (params, opt_state, rec), loss
+                    return (params, opt_state, rec), csums
 
-                (params, opt_state, rec), _ = jax.lax.scan(
+                (params, opt_state, rec), chunk_sums = jax.lax.scan(
                     chunk_body, (params, opt_state, rec), perm)
+                if use_step:
+                    # every point is written exactly once per epoch, so the
+                    # sum of per-chunk masked sums equals the epoch-end
+                    # reduction over the reconstruction buffer
+                    sums = (jnp.sum(chunk_sums[0]), jnp.sum(chunk_sums[1]))
 
-            mse_noisy = jnp.mean((target - rec) ** 2)
-            mse_gt = jnp.mean((gt_arr - rec) ** 2)
+            if sums is not None:
+                mse_noisy = sums[0] * inv_nc
+                mse_gt = sums[1] * inv_nc
+            else:
+                mse_noisy = jnp.mean((target - rec) ** 2)
+                mse_gt = jnp.mean((gt_arr - rec) ** 2)
             tracked = mse_gt if track == "gt" else mse_noisy
             is_best = tracked < best_mse
             best_mse = jnp.where(is_best, tracked, best_mse)
