@@ -71,6 +71,15 @@ def make_kernel(mode):
                     y = vpu(y)
             o_ref[pl.ds(0, M // 2), :] = x
             o_ref[pl.ds(M // 2, M // 2), :] = y
+        elif mode in ("chain4", "chain4_vpu"):
+            q = M // 4
+            xs = [a_ref[pl.ds(k * q, q), :] for k in range(4)]
+            for _ in range(REPS):
+                xs = [step(x) for x in xs]
+                if mode == "chain4_vpu":
+                    xs = [vpu(x) for x in xs]
+            for k in range(4):
+                o_ref[pl.ds(k * q, q), :] = xs[k]
         return
 
     return body
@@ -114,7 +123,7 @@ def run_case(mode):
 
 def main():
     modes = sys.argv[1:] or ["indep", "chain1", "chain1_vpu", "chain2",
-                             "chain2_vpu"]
+                             "chain2_vpu", "chain4", "chain4_vpu"]
     for mode in modes:
         run_case(mode)
 
