@@ -100,19 +100,24 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
             nvalid = jnp.sum(idx < local_n)
             safe = jnp.minimum(idx, local_n - 1)
             denom = nvalid.astype(jnp.float32) * lt.shape[-1]
-            pred, grads = model.step_grads(params, lc[safe], lt[safe],
-                                           nvalid=nvalid, denom=denom)
+            pred, grads, csums = model.step_grads(
+                params, lc[safe], lt[safe], nvalid=nvalid, denom=denom,
+                gt=lgt[safe], want_metrics=True)
             grads = jax.lax.pmean(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             rec = rec.at[idx].set(pred, mode="drop")
-            return (params, opt_state, rec), 0.0
+            return (params, opt_state, rec), csums
 
-        (params, opt_state, rec), _ = jax.lax.scan(
+        (params, opt_state, rec), chunk_sums = jax.lax.scan(
             chunk_body, (params, opt_state, rec), perm)
 
-        mse_noisy = jax.lax.pmean(jnp.mean((lt - rec) ** 2), axis)
-        mse_gt = jax.lax.pmean(jnp.mean((lgt - rec) ** 2), axis)
+        # every local point is predicted exactly once per epoch, so the
+        # accumulated masked sums equal the rec-buffer reductions (the
+        # sums come from inside the fused step kernel where one exists)
+        inv = 1.0 / (local_n * lt.shape[-1])
+        mse_noisy = jax.lax.pmean(jnp.sum(chunk_sums[0]) * inv, axis)
+        mse_gt = jax.lax.pmean(jnp.sum(chunk_sums[1]) * inv, axis)
         tracked = mse_gt if track == "gt" else mse_noisy
         # tracked is pmean'd -> is_best is uniform across devices, so the
         # cond branches identically everywhere
@@ -180,9 +185,9 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
             nvalid = jnp.sum(idx < npoints)
             safe = jnp.minimum(idx, npoints - 1)
             cnt = jax.lax.psum(nvalid.astype(jnp.float32), axis)
-            pred, grads = model.step_grads(params, lc[safe], lt[safe],
-                                           nvalid=nvalid,
-                                           denom=cnt * lt.shape[-1])
+            pred, grads, csums = model.step_grads(
+                params, lc[safe], lt[safe], nvalid=nvalid,
+                denom=cnt * lt.shape[-1], gt=lgt[safe], want_metrics=True)
             grads = jax.lax.psum(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -194,13 +199,17 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
             delta = jax.lax.psum(delta, axis)
             mask = jax.lax.psum(mask, axis)[:, None]
             rec = rec * (1.0 - mask) + delta
-            return (params, opt_state, rec), 0.0
+            return (params, opt_state, rec), csums
 
-        (params, opt_state, rec), _ = jax.lax.scan(
+        (params, opt_state, rec), chunk_sums = jax.lax.scan(
             chunk_body, (params, opt_state, rec), perm)
 
-        mse_noisy = jnp.mean((lt - rec) ** 2)
-        mse_gt = jnp.mean((lgt - rec) ** 2)
+        # each global point is predicted once per epoch across all devices:
+        # psum of the accumulated per-device masked sums equals the
+        # rec-buffer reductions (one scalar-pair collective per epoch)
+        inv = 1.0 / (npoints * lt.shape[-1])
+        mse_noisy = jax.lax.psum(jnp.sum(chunk_sums[0]), axis) * inv
+        mse_gt = jax.lax.psum(jnp.sum(chunk_sums[1]), axis) * inv
         tracked = mse_gt if track == "gt" else mse_noisy
         is_best = tracked < best_mse
         best_mse = jnp.where(is_best, tracked, best_mse)
