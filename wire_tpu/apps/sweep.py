@@ -69,9 +69,14 @@ def _build(nonlin, task, H, W, tau, in_features=2, out_features=3,
 
 
 def sweep_denoise(image=None, results_dir="results", seed=0, niters=2000,
-                  tau=3e1, noise_snr=2, nonlins=NONLINS, size=512):
+                  tau=3e1, noise_snr=2, nonlins=NONLINS, size=512,
+                  downscale=0.5):
+    # the reference script's fixed 1/2 (wire_image_denoise.py:55) assumes
+    # its 2040x1356 parrot source; downscale=1 keeps smaller inputs at a
+    # comparable pixels-per-parameter ratio
     im = common.load_image(image, size=size, channels=3, seed=seed)
-    im = I.resize_area(im, 0.5)
+    if downscale != 1:
+        im = I.resize_area(im, downscale)
     H, W, _ = im.shape
     rng = np.random.RandomState(seed)
     im_noisy = N.measure_np(im, noise_snr, tau, rng=rng).astype(np.float32)
@@ -199,10 +204,13 @@ def main(argv=None):
     p.add_argument("--results_dir", default="results")
     p.add_argument("--niters", type=int, default=None)
     p.add_argument("--nonlins", nargs="+", default=NONLINS)
+    p.add_argument("--downscale", type=float, default=None)
     a = p.parse_args(argv)
     kw = dict(image=a.image, results_dir=a.results_dir, nonlins=a.nonlins)
     if a.niters:
         kw["niters"] = a.niters
+    if a.downscale is not None and a.task == "denoise":
+        kw["downscale"] = a.downscale
     {"denoise": sweep_denoise, "ct": sweep_ct, "sisr": sweep_sisr}[a.task](
         **kw)
 
