@@ -102,3 +102,36 @@ def test_total_variation_matches_torch():
     dy = t[:, :, :, 1:] - t[:, :, :, :-1]
     ref = (dx.abs().sum() + dy.abs().sum()).item()
     assert abs(float(M.total_variation(jnp.asarray(x))) - ref) < 1e-4
+
+
+def test_ssim_large_magnitude_inputs():
+    """f32 (co)variance cancellation: a divergent reconstruction with values
+    far outside [0,1] must still give SSIM in [-1, 1] matching a float64
+    oracle (observed SSIM=1.14 before the centered-moment fix)."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (48, 48)).astype(np.float32)
+    y = (x + 20.0 + 0.5 * rng.standard_normal((48, 48))).astype(np.float32)
+
+    def oracle(a, b, data_range=1.0, win=7):
+        from scipy.ndimage import uniform_filter
+        a = a.astype(np.float64); b = b.astype(np.float64)
+        K1, K2 = 0.01, 0.03
+        C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+        NP = win ** 2
+        cov_norm = NP / (NP - 1.0)
+        ua, ub = uniform_filter(a, win), uniform_filter(b, win)
+        va = cov_norm * (uniform_filter(a * a, win) - ua * ua)
+        vb = cov_norm * (uniform_filter(b * b, win) - ub * ub)
+        vab = cov_norm * (uniform_filter(a * b, win) - ua * ub)
+        S = ((2 * ua * ub + C1) * (2 * vab + C2)
+             / ((ua ** 2 + ub ** 2 + C1) * (va + vb + C2)))
+        pad = win // 2
+        return float(np.mean(S[pad:-pad, pad:-pad]))
+
+    for a, b in [(x, y), (y, y * 1.01), (x, x + 0.1)]:
+        got = float(M.ssim(a, b))
+        want = oracle(a, b)
+        assert -1.0 <= got <= 1.0
+        np.testing.assert_allclose(got, want, atol=2e-3)
+    g = float(M.ssim_gaussian(y, y * 1.01))
+    assert -1.0 <= g <= 1.0

@@ -79,12 +79,19 @@ def _ssim_single(x, y, data_range, win_size):
 
     ux, pad = _uniform_filter(x, win_size)
     uy, _ = _uniform_filter(y, win_size)
-    uxx, _ = _uniform_filter(x * x, win_size)
-    uyy, _ = _uniform_filter(y * y, win_size)
-    uxy, _ = _uniform_filter(x * y, win_size)
-    vx = cov_norm * (uxx - ux * ux)
-    vy = cov_norm * (uyy - uy * uy)
-    vxy = cov_norm * (uxy - ux * uy)
+    # second moments on globally-centered copies: (co)variances are
+    # shift-invariant, and E[x^2]-mu^2 in f32 cancels catastrophically for
+    # values far from 0 (divergent CT/SISR reconstructions produced
+    # SSIM > 1 before this)
+    cx, cy = jnp.mean(x), jnp.mean(y)
+    xs, ys = x - cx, y - cy
+    uxs, uys = ux - cx, uy - cy
+    uxx, _ = _uniform_filter(xs * xs, win_size)
+    uyy, _ = _uniform_filter(ys * ys, win_size)
+    uxy, _ = _uniform_filter(xs * ys, win_size)
+    vx = cov_norm * (uxx - uxs * uxs)
+    vy = cov_norm * (uyy - uys * uys)
+    vxy = cov_norm * (uxy - uxs * uys)
 
     A1 = 2 * ux * uy + C1
     A2 = 2 * vxy + C2
@@ -141,12 +148,16 @@ def _ssim_gauss(x, y, data_range, k):
     C2 = (K2 * data_range) ** 2
     mx = _gauss_filter_nchw(x, k)
     my = _gauss_filter_nchw(y, k)
-    mxx = _gauss_filter_nchw(x * x, k)
-    myy = _gauss_filter_nchw(y * y, k)
-    mxy = _gauss_filter_nchw(x * y, k)
-    vx = mxx - mx * mx
-    vy = myy - my * my
-    vxy = mxy - mx * my
+    # centered second moments (see _ssim_single)
+    cx, cy = jnp.mean(x), jnp.mean(y)
+    xs, ys = x - cx, y - cy
+    mxs, mys = mx - cx, my - cy
+    mxx = _gauss_filter_nchw(xs * xs, k)
+    myy = _gauss_filter_nchw(ys * ys, k)
+    mxy = _gauss_filter_nchw(xs * ys, k)
+    vx = mxx - mxs * mxs
+    vy = myy - mys * mys
+    vxy = mxy - mxs * mys
     cs = (2 * vxy + C2) / (vx + vy + C2)
     ssim_map = ((2 * mx * my + C1) / (mx * mx + my * my + C1)) * cs
     return jnp.mean(ssim_map), jnp.mean(cs)
