@@ -82,9 +82,12 @@ def test_forward_parity(nonlin, kw, opt):
                                jnp.asarray(coords)))
     # wire2d's exp(-sigma^2(|lin|^2+|orth|^2)) amplifies f32 matmul
     # summation-order jitter multiplicatively (rel err ~ 2 sigma^2 |lin| dz),
-    # which makes the tight tolerance flaky under varying XLA CPU thread
-    # scheduling; everything else stays at the tight bound.
-    rtol, atol = (2e-3, 1e-4) if nonlin == "wire2d" else (2e-4, 2e-5)
+    # which makes a tight elementwise rtol flaky under varying XLA CPU
+    # thread scheduling wherever the output is near zero (observed: a few
+    # elements ~1e-2 off by ~4e-4 abs).  Outputs are O(1), so atol=1e-3 is
+    # still a tight bound on the output scale while absorbing the jitter;
+    # everything else stays at the tight bound.
+    rtol, atol = (2e-3, 1e-3) if nonlin == "wire2d" else (2e-4, 2e-5)
     np.testing.assert_allclose(y, y_ref.reshape(y.shape), rtol=rtol,
                                atol=atol)
 

@@ -72,10 +72,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
 
-# Coordinate rows per grid step.  Swept on v5e at the headline config
-# (65536 coords, h=212->256): 256/512/1024/2048 -> 15.8/18.2/19.0/17.3
-# Mcoords/s; 4096 exceeds the raised VMEM cap.
-TILE_N = 1024
+# Coordinate rows per grid step.  Two sweeps on v5e at the headline config
+# (65536 coords, h=212->256):
+#   serial one-pass kernel: 256/512/1024/2048 -> 15.8/18.2/19.0/17.3
+#     Mcoords/s (4096 exceeds the raised VMEM cap) -> 1024 won;
+#   cross-tile PIPELINED kernel (tools/exp_tilesweep_pipe.py, best-of-4
+#     50-step scans, reproduced twice): 256/512/1024/2048 ->
+#     2.831/2.743/2.823/3.27 ms -> 512 wins by ~3%.  More, shorter tiles
+#     give the two interleaved chains more overlap windows; "wider M per
+#     grid step" (PERF.md's earlier headroom guess) measured WORSE.
+TILE_N = 512
 
 
 def _pad_params_stacked(params, L, hp, op):
