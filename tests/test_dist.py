@@ -96,3 +96,107 @@ def test_sharded_on_subset_mesh():
     res = fit_pointwise_sharded(model, params, coords, target, cfg, mesh,
                                 track="noisy")
     assert np.isfinite(res.mse_noisy).all()
+
+
+def test_operator_sharded_equals_single_device():
+    """fit_operator_sharded: sharded render + all_gather + pmean grads must
+    reproduce the (deterministic) single-device fit_operator trajectory."""
+    from wire_tpu.dist import fit_operator_sharded
+    from wire_tpu.ops.resample import avg_pool2d
+    from wire_tpu.train.trainer import fit_operator
+
+    H = W = 16
+    im = I.synthetic_image(H, W, 1, seed=3)[..., 0]
+    coords = C.grid2d(H, W)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=1, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+
+    def op(field):  # 4x box-downsample (the SISR operator shape)
+        return avg_pool2d(field[None, None], 4)[0, 0]
+
+    meas = np.asarray(jax.jit(op)(jnp.asarray(im)))
+    cfg = FitConfig(learning_rate=5e-3, niters=12)
+    res1 = fit_operator(model, jax.tree.map(jnp.copy, params), coords, meas,
+                        op, cfg, gt_field=im, field_shape=(H, W),
+                        donate=False)
+    mesh = make_mesh(8)
+    res8 = fit_operator_sharded(model, jax.tree.map(jnp.copy, params),
+                                coords, meas, op, cfg, mesh, gt_field=im,
+                                field_shape=(H, W), donate=False)
+    np.testing.assert_allclose(res8.mse_noisy, res1.mse_noisy, rtol=2e-4)
+    np.testing.assert_allclose(res8.mse_gt, res1.mse_gt, rtol=2e-4)
+    np.testing.assert_allclose(res8.best_rec, res1.best_rec, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(res1.params),
+                    jax.tree.leaves(res8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_frames_sharded_equals_single_device():
+    """fit_frames_sharded: per-step frame batch split over the mesh with
+    psum'd partial sums must match fit_frames' stochastic trajectory (same
+    key stream, same batch composition)."""
+    from wire_tpu.dist import fit_frames_sharded
+    from wire_tpu.train.trainer import fit_frames
+
+    H = W = 16
+    scale = 2
+    nframes, bs = 10, 8      # npad=6: exercises the sentinel mask
+    rng = np.random.RandomState(0)
+    base = C.grid2d(H, W)
+    frame_coords = np.stack([
+        np.clip(base + rng.uniform(-0.05, 0.05, size=(1, 2)), -1, 1)
+        for _ in range(nframes)]).astype(np.float32)
+    frame_pixels = rng.rand(
+        nframes, (H // scale) * (W // scale), 3).astype(np.float32)
+    frame_masks = (rng.rand(*frame_pixels.shape) > 0.1).astype(np.float32)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=6, lr_decay=1.0)
+    res1 = fit_frames(model, jax.tree.map(jnp.copy, params), frame_coords,
+                      frame_pixels, frame_masks, cfg, hr_shape=(H, W, 3),
+                      scale=scale, batch_size=bs, donate=False)
+    mesh = make_mesh(8)
+    res8 = fit_frames_sharded(model, jax.tree.map(jnp.copy, params),
+                              frame_coords, frame_pixels, frame_masks, cfg,
+                              mesh, hr_shape=(H, W, 3), scale=scale,
+                              batch_size=bs, donate=False)
+    np.testing.assert_allclose(res8.mse_noisy, res1.mse_noisy, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(res1.params),
+                    jax.tree.leaves(res8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_sharded_epoch_sums_keeps_iou():
+    """The sharded fitter's psum'd per-epoch metric sums must equal the
+    single-device epoch_metric (occupancy IoU, VERDICT weak #3)."""
+    from wire_tpu.train import metrics as M
+
+    model, params, coords, target = _setup(H=32, W=32)
+    timu = jnp.asarray(target)
+    cfg = FitConfig(learning_rate=5e-3, niters=6,
+                    maxpoints=coords.shape[0])
+
+    def epoch_iou(rec):
+        return M.iou(rec, timu, 0.5)
+
+    res1 = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                         target, cfg, track="noisy", donate=False,
+                         epoch_metric=epoch_iou)
+
+    def iou_sums(rec_local, tgt_local):
+        p = jnp.where(rec_local >= 0.5, 1.0, 0.0)
+        inter = jnp.sum(jnp.logical_and(p != 0, tgt_local != 0))
+        union = jnp.sum(jnp.logical_or(p != 0, tgt_local != 0))
+        return inter, union
+
+    mesh = make_mesh(8)
+    res8 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target, cfg, mesh, track="noisy",
+                                 donate=False, epoch_sums=iou_sums)
+    inter, union = res8.time_array
+    iou8 = inter / union
+    np.testing.assert_allclose(iou8, res1.time_array, rtol=1e-5)

@@ -25,7 +25,18 @@ def base_parser(description):
     p.add_argument("--reference_compat", action="store_true",
                    help="reproduce reference defects that affected published "
                         "numbers (mscale_HL first-layer detach)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the fit over an N-device mesh (0 = "
+                        "single-device)")
     return p
+
+
+def mesh_from_arg(n):
+    """0/None -> single-device; N -> a 1-D mesh over the first N devices."""
+    if not n:
+        return None
+    from wire_tpu.dist import make_mesh
+    return make_mesh(n)
 
 
 def load_image(path, size=512, channels=3, seed=0, kind="natural"):

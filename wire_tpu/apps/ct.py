@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wire_tpu.operators.radon import radon
+from wire_tpu.operators.radon import RadonOp, radon
 from wire_tpu.signals import coords as C, image as I, noise as N
 from wire_tpu.train import artifacts as A, metrics as M
 from wire_tpu.train.presets import get_config
@@ -23,7 +23,7 @@ from wire_tpu.apps import common
 
 
 def run(config_name, *, image=None, results_dir="results", seed=0,
-        nmeas=100, reference_compat=False):
+        nmeas=100, reference_compat=False, mesh=None):
     cfg = get_config(config_name)
     A.log(f"Starting CT experiment ({config_name})")
 
@@ -56,9 +56,15 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
     fit_cfg = FitConfig(learning_rate=cfg.learning_rate, niters=cfg.niters,
                         maxpoints=cfg.maxpoints, seed=seed)
     jthetas = jnp.asarray(thetas)
-    res = fit_operator(model, params, coords, sinogram,
-                       lambda f: radon(f, jthetas), fit_cfg,
-                       gt_field=img, field_shape=(H, W), track="gt")
+    op = RadonOp(jthetas)
+    if mesh is not None:
+        from wire_tpu.dist import fit_operator_sharded
+        res = fit_operator_sharded(model, params, coords, sinogram, op,
+                                   fit_cfg, mesh, gt_field=img,
+                                   field_shape=(H, W), track="gt")
+    else:
+        res = fit_operator(model, params, coords, sinogram, op, fit_cfg,
+                           gt_field=img, field_shape=(H, W), track="gt")
 
     best = res.best_rec
     psnr = float(M.psnr_ref(img, best))
@@ -90,7 +96,8 @@ def main(argv=None):
     p = common.base_parser(__doc__)
     a = p.parse_args(argv)
     run(a.config_name, image=a.image, results_dir=a.results_dir,
-        seed=a.seed, reference_compat=a.reference_compat)
+        seed=a.seed, reference_compat=a.reference_compat,
+        mesh=common.mesh_from_arg(a.mesh))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from wire_tpu.train.trainer import FitConfig, fit_frames
 def run(nonlin="wire", *, image=None, results_dir="results", seed=0,
         scale_sr=4, niters=2000, use_gt_registration=True, size=192,
         hidden_features=256, hidden_layers=2, omega0=10.0, sigma0=5.0,
-        batch_size=4):
+        batch_size=4, mesh=None):
     A.log(f"Starting multi-SR with {nonlin}")
     learning_rate = {"wire": 5e-3, "siren": 1e-3, "mfn": 5e-2, "relu": 5e-4,
                      "posenc": 5e-4, "gauss": 1e-3}.get(nonlin, 5e-3)
@@ -75,9 +75,15 @@ def run(nonlin="wire", *, image=None, results_dir="results", seed=0,
 
     cfg = FitConfig(learning_rate=learning_rate, niters=niters,
                     lr_decay=1.0, seed=seed)  # reference multi-SR: no decay
-    res = fit_frames(model, params, ds.coords, ds.pixels, ds.masks, cfg,
-                     hr_shape=(H, W, 3), scale=scale_sr,
-                     batch_size=batch_size)
+    if mesh is not None:
+        from wire_tpu.dist import fit_frames_sharded
+        res = fit_frames_sharded(model, params, ds.coords, ds.pixels,
+                                 ds.masks, cfg, mesh, hr_shape=(H, W, 3),
+                                 scale=scale_sr, batch_size=batch_size)
+    else:
+        res = fit_frames(model, params, ds.coords, ds.pixels, ds.masks, cfg,
+                         hr_shape=(H, W, 3), scale=scale_sr,
+                         batch_size=batch_size)
 
     # full-grid render with the best state (wire_multi_sr.py:231-234)
     coords_full = jnp.asarray(C.grid2d(H, W))
@@ -127,10 +133,13 @@ def main(argv=None):
     p.add_argument("--niters", type=int, default=2000)
     p.add_argument("--estim_reg", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0)
     a = p.parse_args(argv)
+    from wire_tpu.apps.common import mesh_from_arg
     run(a.nonlin, image=a.image, results_dir=a.results_dir,
         scale_sr=a.scale_sr, niters=a.niters,
-        use_gt_registration=not a.estim_reg, seed=a.seed)
+        use_gt_registration=not a.estim_reg, seed=a.seed,
+        mesh=mesh_from_arg(a.mesh))
 
 
 if __name__ == "__main__":

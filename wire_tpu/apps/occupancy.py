@@ -13,6 +13,7 @@ This is the scale driver (SURVEY.md §3.4): at 512^3 the coordinate set is
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import numpy as np
@@ -26,6 +27,25 @@ from wire_tpu.train.trainer import FitConfig, fit_pointwise
 
 _LR = {"wire": 5e-3, "siren": 2e-3, "mfn": 5e-2, "relu": 1e-3,
        "posenc": 1e-3, "gauss": 2e-3}
+
+
+@functools.lru_cache(maxsize=None)
+def _iou_sums(thres):
+    """Per-shard thresholded intersection/union counts for the sharded
+    fitter's psum'd epoch metrics (volutils.get_I_and_U semantics, without
+    the in-place mutation).  lru_cached so the closure identity is stable
+    across fits (it keys the dist program cache)."""
+    import jax.numpy as jnp
+
+    def sums(rec_local, tgt_local):
+        p = jnp.where(rec_local >= thres, 1.0, 0.0)
+        inter = jnp.sum(jnp.logical_and(p != 0, tgt_local != 0)
+                        .astype(jnp.float32))
+        union = jnp.sum(jnp.logical_or(p != 0, tgt_local != 0)
+                        .astype(jnp.float32))
+        return inter, union
+
+    return sums
 
 
 def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
@@ -73,9 +93,15 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
 
     if mesh is not None:
         from wire_tpu.dist import fit_pointwise_sharded
+        # per-epoch IoU survives the mesh: each device contributes its
+        # shard's thresholded intersection/union counts, psum'd in-program
+        # (the reference reports IoU per epoch, wire_occupancy.py:160-163)
         res = fit_pointwise_sharded(model, params, coords, target, fit_cfg,
-                                    mesh, track="noisy")
-        iou_hist = None
+                                    mesh, track="noisy",
+                                    epoch_sums=_iou_sums(mcubes_thres))
+        inter, union = res.time_array
+        iou_hist = np.asarray(inter, np.float64) / np.maximum(
+            np.asarray(union, np.float64), 1.0)
     else:
         res = fit_pointwise(model, params, coords, target, fit_cfg,
                             track="noisy", epoch_metric=epoch_iou)
@@ -92,8 +118,7 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
     os.makedirs(outdir, exist_ok=True)
     A.save_mat(os.path.join(outdir, f"{nonlin}.mat"), {
         "mse_array": res.mse_noisy,
-        "iou_array": (iou_hist if iou_hist is not None
-                      else np.zeros_like(res.mse_noisy)),
+        "iou_array": np.asarray(iou_hist),
         "nparams": nparams,
         "Best PSNR": psnr,
         "Best IoU": best_iou,
@@ -112,9 +137,12 @@ def main(argv=None):
     p.add_argument("--niters", type=int, default=200)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0)
     a = p.parse_args(argv)
+    from wire_tpu.apps.common import mesh_from_arg
     run(a.nonlin, volume_mat=a.volume_mat, results_dir=a.results_dir,
-        niters=a.niters, size=a.size, seed=a.seed)
+        niters=a.niters, size=a.size, seed=a.seed,
+        mesh=mesh_from_arg(a.mesh))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ from wire_tpu.train.trainer import (FitConfig, FitResult, make_optimizer,
 
 def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
                           mesh: Mesh, *, gt=None, track="gt", donate=True,
-                          global_perm=False):
+                          global_perm=False, epoch_sums=None):
     """Sharded counterpart of train.trainer.fit_pointwise.
 
     Requires npoints divisible by the mesh size (pad upstream if needed) —
@@ -55,7 +55,8 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     """
     if global_perm:
         return _fit_global_perm(model, params, coords, target, cfg, mesh,
-                                gt=gt, track=track, donate=donate)
+                                gt=gt, track=track, donate=donate,
+                                epoch_sums=epoch_sums)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     npoints = coords.shape[0]
@@ -76,7 +77,7 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
-                 target.shape[-1], track, donate)
+                 target.shape[-1], track, donate, epoch_sums)
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
 
     def epoch_body_local(carry, _, *, lc, lt, lgt):
@@ -125,8 +126,16 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
         best_mse = jnp.where(is_best, tracked, best_mse)
         best_rec, best_params = track_best(
             is_best, (rec, params), (best_rec, best_params))
+        if epoch_sums is not None:
+            # partial sums over the local shard, combined over ICI — the
+            # sharded path keeps per-epoch metrics (e.g. occupancy IoU
+            # intersection/union counts) instead of dropping them
+            extra = jax.tree.map(lambda s: jax.lax.psum(s, axis),
+                                 epoch_sums(rec, lt))
+        else:
+            extra = jnp.float32(0)
         return ((params, opt_state, rec, key, best_mse, best_rec,
-                 best_params), (mse_gt, mse_noisy))
+                 best_params), (mse_gt, mse_noisy, extra))
 
     pspec_carry = (P(), P(), P(axis), P(), P(), P(axis), P())
     return _drive(model, cfg, mesh, cache_key, pspec_carry,
@@ -135,7 +144,7 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
 
 def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
-                     mesh: Mesh, *, gt, track, donate):
+                     mesh: Mesh, *, gt, track, donate, epoch_sums=None):
     """Exact-composition sharded fit: replicated data, one shared epoch
     permutation (the single-device trainer's key stream), each device takes
     its slice of every global chunk.  Gradient = psum of partial sums over
@@ -160,7 +169,7 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
 
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
-                 target.shape[-1], track, donate, "global_perm")
+                 target.shape[-1], track, donate, epoch_sums, "global_perm")
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
 
     def epoch_body(carry, _, *, lc, lt, lgt):
@@ -215,8 +224,11 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
         best_mse = jnp.where(is_best, tracked, best_mse)
         best_rec, best_params = track_best(
             is_best, (rec, params), (best_rec, best_params))
+        # rec is replicated here: epoch metrics need no collective
+        extra = (epoch_sums(rec, lt) if epoch_sums is not None
+                 else jnp.float32(0))
         return ((params, opt_state, rec, key, best_mse, best_rec,
-                 best_params), (mse_gt, mse_noisy))
+                 best_params), (mse_gt, mse_noisy, extra))
 
     pspec_carry = (P(),) * 7
     return _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body,
@@ -245,7 +257,7 @@ def _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body, coords,
         shard_run = jax.shard_map(
             run_sharded, mesh=mesh,
             in_specs=(pspec_carry, data_pspec, data_pspec, data_pspec),
-            out_specs=(pspec_carry, (P(), P())),
+            out_specs=(pspec_carry, (P(), P(), P())),
             check_vma=False)
         run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
         _PROGRAMS[key2] = run
@@ -259,22 +271,271 @@ def _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body, coords,
               best_rec0, jax.tree.map(jnp.copy, params))
     t0 = time.time()
     carry = carry0
-    gts, noisys = [], []
+    gts, noisys, extras = [], [], []
     done = 0
     while done < cfg.niters:
         this = min(seg, cfg.niters - done)
         r = run if this == seg else build(this)
-        carry, (mg, mn) = r(carry, coords, target, gt_arr)
+        carry, (mg, mn, ex) = r(carry, coords, target, gt_arr)
         gts.append(mg)
         noisys.append(mn)
+        extras.append(ex)
         done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
-    mse_gt = jnp.concatenate(gts)
-    mse_noisy = jnp.concatenate(noisys)
+    mse_gt = np.concatenate([np.asarray(h) for h in gts])
+    mse_noisy = np.concatenate([np.asarray(h) for h in noisys])
     params, _, rec, _, best_mse, best_rec, best_params = carry
-    return FitResult(
+    res = FitResult(
         params=params, best_params=best_params,
         best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
-        mse_gt=np.asarray(mse_gt), mse_noisy=np.asarray(mse_noisy),
+        mse_gt=mse_gt, mse_noisy=mse_noisy,
         best_mse=float(np.asarray(best_mse).ravel()[0]), wall_time_s=wall)
+    # per-epoch metric sums (e.g. IoU intersection/union counts), already
+    # collectively combined in-program
+    res.time_array = jax.tree.map(
+        lambda *segs: np.concatenate([np.asarray(s) for s in segs]), *extras)
+    return res
+
+
+def fit_operator_sharded(model, params, coords, measurement, operator_fn,
+                         cfg: FitConfig, mesh: Mesh, *, gt_field=None,
+                         field_shape, track="gt", donate=True):
+    """Sharded counterpart of train.trainer.fit_operator (the CT/SISR loop,
+    bspline_ct.py:146-157): the full-grid render is sharded along the
+    coordinate axis — each device renders its rows, an ``all_gather`` over
+    ICI assembles the field, and the (comparatively cheap) forward operator
+    + loss run replicated.  Gradients combine by ``pmean``: the all_gather
+    transpose (a psum-scatter of the replicated cotangent) scales each
+    device's slice contribution by the mesh size, and the pmean cancels it,
+    so the combined gradient equals the single-device gradient exactly (to
+    reduction order).  The optimization trajectory is deterministic (no
+    minibatching), hence identical to ``fit_operator`` — asserted in
+    tests/test_dist.py."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    npoints = coords.shape[0]
+    if npoints % ndev:
+        raise ValueError(f"npoints={npoints} not divisible by mesh size "
+                         f"{ndev}; pad the coordinate set")
+    cfg = dataclasses.replace(cfg, schedule_per="iter")
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    coords = jax.device_put(jnp.asarray(coords), shard)
+    measurement = jax.device_put(jnp.asarray(measurement), repl)
+    has_gt = gt_field is not None
+    gt_arr = (measurement if gt_field is None
+              else jax.device_put(jnp.asarray(gt_field), repl))
+    params = jax.device_put(params, repl)
+
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    cache_key = (model, cfg, seg, mesh, npoints, tuple(field_shape),
+                 operator_fn, track, has_gt, donate, "operator_sharded")
+    tx = make_optimizer(cfg, params, nchunks=1)
+
+    def build(seg_len):
+        key2 = cache_key + (seg_len,)
+        hit = _PROGRAMS.get(key2)
+        if hit is not None:
+            return hit
+
+        def run_sharded(carry, lc, lm, lg):
+            def loss_fn(p):
+                local = model.apply(p, lc)                 # (N/ndev, C)
+                full = jax.lax.all_gather(local, axis, tiled=True)
+                field = full.reshape(field_shape)
+                est = operator_fn(field)
+                return jnp.mean((est - lm) ** 2), field
+
+            def step(carry, _):
+                (params, opt_state, best_loss, best_field,
+                 best_params) = carry
+                (loss, field), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grads = jax.lax.pmean(grads, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if has_gt and track == "gt":
+                    tracked = jnp.mean((field - lg) ** 2)
+                else:
+                    tracked = loss
+                is_best = tracked < best_loss
+                best_loss = jnp.where(is_best, tracked, best_loss)
+                best_field, best_params = track_best(
+                    is_best, (field, params), (best_field, best_params))
+                return (params, opt_state, best_loss, best_field,
+                        best_params), (loss, tracked)
+
+            return jax.lax.scan(step, carry, None, length=seg_len)
+
+        pspec_carry = (P(),) * 5
+        shard_run = jax.shard_map(
+            run_sharded, mesh=mesh,
+            in_specs=(pspec_carry, P(axis), P(), P()),
+            out_specs=(pspec_carry, (P(), P())),
+            check_vma=False)
+        run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[key2] = run
+        return run
+
+    run = build(seg)
+    opt_state = jax.device_put(tx.init(params), repl)
+    field0 = jax.device_put(jnp.zeros(field_shape, measurement.dtype), repl)
+    carry = (params, opt_state, jnp.asarray(jnp.inf), field0,
+             jax.tree.map(jnp.copy, params))
+    loss_h, tracked_h = [], []
+    t0 = time.time()
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        r = run if this == seg else build(this)
+        carry, (lh, th) = r(carry, coords, measurement, gt_arr)
+        loss_h.append(lh)
+        tracked_h.append(th)
+        done += this
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    params, _, best_loss, best_field, best_params = carry
+    return FitResult(
+        params=params, best_params=best_params,
+        best_rec=np.asarray(best_field), final_rec=None,
+        mse_gt=np.concatenate([np.asarray(h) for h in tracked_h]),
+        mse_noisy=np.concatenate([np.asarray(h) for h in loss_h]),
+        best_mse=float(np.asarray(best_loss).ravel()[0]), wall_time_s=wall)
+
+
+def fit_frames_sharded(model, params, frame_coords, frame_pixels,
+                       frame_masks, cfg: FitConfig, mesh: Mesh, *, hr_shape,
+                       scale, batch_size=4, donate=True):
+    """Sharded counterpart of train.trainer.fit_frames (multi-SR,
+    wire_multi_sr.py:183-208): each optimizer step's frame batch is split
+    across the mesh — device d renders batch_size/ndev frames — and the
+    masked squared-error partial sums (and their gradients) combine by
+    ``psum`` over the global valid count.  The epoch permutation uses the
+    SAME key stream as the single-device fitter, so batch composition and
+    the whole trajectory match ``fit_frames`` exactly (to reduction order).
+
+    Frame data is replicated (multi-SR stacks are a few dozen image frames —
+    SURVEY.md §2.5 axis 2); the sharded axis is the per-step render, which
+    is where the FLOPs are."""
+    from wire_tpu.ops.resample import avg_pool2d
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    frame_coords = jnp.asarray(frame_coords)
+    frame_pixels = jnp.asarray(frame_pixels)
+    frame_masks = jnp.asarray(frame_masks)
+    nframes = frame_coords.shape[0]
+    H, W, C = hr_shape
+    bs = min(batch_size, nframes)
+    if bs % ndev:
+        raise ValueError(f"batch_size={bs} not divisible by mesh size "
+                         f"{ndev}")
+    bs_local = bs // ndev
+    nbatches = (nframes + bs - 1) // bs
+    npad = nbatches * bs - nframes
+
+    repl = NamedSharding(mesh, P())
+    frame_coords = jax.device_put(frame_coords, repl)
+    frame_pixels = jax.device_put(frame_pixels, repl)
+    frame_masks = jax.device_put(frame_masks, repl)
+    params = jax.device_put(params, repl)
+
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    cache_key = (model, cfg, seg, mesh, frame_coords.shape,
+                 frame_pixels.shape, tuple(hr_shape), scale, bs, donate,
+                 "frames_sharded")
+    tx = make_optimizer(cfg, None, nchunks=nbatches)
+
+    def build(seg_len):
+        key2 = cache_key + (seg_len,)
+        hit = _PROGRAMS.get(key2)
+        if hit is not None:
+            return hit
+
+        def run_sharded(carry, fc, fp, fm):
+            carry, key0 = carry
+            carry = (carry, key0)
+            # per-frame LR element count (err.size / bs in the single-device
+            # loss, wire_multi_sr.py:197 semantics)
+            per_frame = (H // scale) * (W // scale) * C
+
+            def batch_loss(p, fidx):
+                # fidx: (bs_local,) this device's slice of the global batch
+                valid = (fidx < nframes).astype(fp.dtype)
+                safe = jnp.minimum(fidx, nframes - 1)
+                rend = model.apply(p, fc[safe])           # (bsl, H*W, C)
+                nchw = jnp.transpose(rend.reshape(bs_local, H, W, C),
+                                     (0, 3, 1, 2))
+                lr = jnp.transpose(avg_pool2d(nchw, scale), (0, 2, 3, 1))
+                lr = lr.reshape(bs_local, -1, C)
+                m = fm[safe] * valid[:, None, None]
+                err = (lr - fp[safe]) * m
+                nvalid = jax.lax.psum(valid.sum(), axis)
+                # partial of the global masked mean; psum of grads (and of
+                # the loss values) completes it
+                return jnp.sum(err ** 2) / (per_frame
+                                            * jnp.maximum(nvalid, 1))
+
+            def step(carry, idx_all):
+                params, opt_state, best_loss, best_params = carry
+                dev = jax.lax.axis_index(axis)
+                fidx = jax.lax.dynamic_slice_in_dim(
+                    idx_all, dev * bs_local, bs_local)
+                loss_p, grads = jax.value_and_grad(batch_loss)(params, fidx)
+                loss = jax.lax.psum(loss_p, axis)
+                grads = jax.lax.psum(grads, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                is_best = loss < best_loss
+                best_loss = jnp.where(is_best, loss, best_loss)
+                best_params = track_best(is_best, params, best_params)
+                return (params, opt_state, best_loss, best_params), loss
+
+            def epoch(carry, _):
+                inner, key = carry
+                key, sub = jax.random.split(key)      # fit_frames' stream
+                order = jax.random.permutation(sub, nframes)
+                if npad:
+                    order = jnp.concatenate(
+                        [order, jnp.full((npad,), nframes, order.dtype)])
+                order = order.reshape(nbatches, bs)
+                inner, losses = jax.lax.scan(step, inner, order)
+                return (inner, key), jnp.sum(losses)
+
+            (inner, key2_), mse_hist = jax.lax.scan(
+                epoch, carry, None, length=seg_len)
+            return (inner, key2_), mse_hist
+
+        pspec_carry = ((P(), P(), P(), P()), P())
+        shard_run = jax.shard_map(
+            run_sharded, mesh=mesh,
+            in_specs=(pspec_carry, P(), P(), P()),
+            out_specs=(pspec_carry, P()),
+            check_vma=False)
+        run = jax.jit(shard_run, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[key2] = run
+        return run
+
+    run = build(seg)
+    opt_state = jax.device_put(tx.init(params), repl)
+    carry = ((params, opt_state, jnp.asarray(jnp.inf),
+              jax.tree.map(jnp.copy, params)), jax.random.key(cfg.seed))
+    hists = []
+    t0 = time.time()
+    done = 0
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        r = run if this == seg else build(this)
+        carry, h = r(carry, frame_coords, frame_pixels, frame_masks)
+        hists.append(h)
+        done += this
+    (params_f, _, best_loss, best_params), _key = carry
+    jax.block_until_ready(best_loss)
+    wall = time.time() - t0
+    mse_hist = np.concatenate([np.asarray(h) for h in hists])
+    return FitResult(
+        params=params_f, best_params=best_params, best_rec=None,
+        final_rec=None, mse_gt=mse_hist, mse_noisy=mse_hist,
+        best_mse=float(np.asarray(best_loss).ravel()[0]), wall_time_s=wall)

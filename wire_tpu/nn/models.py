@@ -74,6 +74,9 @@ class INRSpec:
         return dataclasses.replace(self, **kw)
 
 
+_INIT_PROGRAMS: dict = {}
+
+
 class INR:
     """A model family instance: ``params = m.init(key)``,
     ``y = m.apply(params, coords)``.
@@ -97,7 +100,16 @@ class INR:
                 and self._step is other._step)
 
     def init(self, key):
-        return self._init(key, self.spec)
+        # One jitted program per architecture instead of dozens of eager
+        # dispatches: on remote/tunneled backends every distinct eager op
+        # pays a remote-compile round trip (~10s each, measured 2026-08-20),
+        # which made bare init cost minutes.  The program is cached on the
+        # (hashable) model so repeat inits reuse the loaded executable.
+        prog = _INIT_PROGRAMS.get(self)
+        if prog is None:
+            prog = jax.jit(lambda k: self._init(k, self.spec))
+            _INIT_PROGRAMS[self] = prog
+        return prog(key)
 
     def apply(self, params, coords, **kw):
         return self._apply(params, coords, self.spec, **kw)

@@ -61,6 +61,27 @@ def radon(img, angles_degrees, *, method="auto", checkpoint=True):
     raise ValueError(method)
 
 
+class RadonOp:
+    """Hashable Radon forward-operator closure for the trainer/dist program
+    caches: a bare ``lambda f: radon(f, thetas)`` is a fresh object per fit,
+    so every fit would recompile (expensive on tunneled backends)."""
+
+    def __init__(self, angles_degrees, *, method="auto"):
+        self.angles = jnp.asarray(angles_degrees)
+        self.method = method
+        self._key = (tuple(np.asarray(angles_degrees).ravel().tolist()),
+                     method)
+
+    def __call__(self, field):
+        return radon(field, self.angles, method=self.method)
+
+    def __hash__(self):
+        return hash(("RadonOp", self._key))
+
+    def __eq__(self, other):
+        return isinstance(other, RadonOp) and self._key == other._key
+
+
 def radon_batch(imgs, angles_degrees, **kw):
     """(nimg, H, W) -> (nimg, nangles, W), matching lin_inverse.radon's
     batched output layout."""

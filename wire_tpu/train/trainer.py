@@ -155,13 +155,13 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     tx, run = _pointwise_program(
         model, cfg, seg, npoints, nchunks, mp, npad, track, tv_weight,
         image_shape, epoch_metric, donate)
-    opt_state = tx.init(params)
-    key = jax.random.key(cfg.seed)
+    opt_state, key, best_params = _fit_setup(model, cfg, tx)(
+        params, jnp.uint32(cfg.seed))
 
     # distinct buffers everywhere: donated args must not alias
     rec0 = jnp.zeros_like(target)
     carry = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
-             jnp.zeros_like(target), jax.tree.map(jnp.copy, params))
+             jnp.zeros_like(target), best_params)
     hists = []
     t0 = time.time()
     done = 0
@@ -176,13 +176,15 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
         done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
-    mse_gt, mse_noisy, extra = (jnp.concatenate([h[i] for h in hists])
-                                for i in range(3))
+    # host-side concatenation: an eager jnp.concatenate would compile one
+    # more device program per shape (expensive on tunneled backends)
+    mse_gt, mse_noisy, extra = (
+        np.concatenate([np.asarray(h[i]) for h in hists]) for i in range(3))
     params, _, rec, _, best_mse, best_rec, best_params = carry
     res = FitResult(
         params=params, best_params=best_params,
         best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
-        mse_gt=np.asarray(mse_gt), mse_noisy=np.asarray(mse_noisy),
+        mse_gt=mse_gt, mse_noisy=mse_noisy,
         best_mse=float(best_mse), wall_time_s=wall)
     if epoch_metric is not None:
         res.time_array = np.asarray(extra)
@@ -275,9 +277,9 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
         return tx, run
 
     tx, run = build_frames(seg)
-    opt_state = tx.init(params)
-    carry = ((params, opt_state, jnp.asarray(jnp.inf),
-              jax.tree.map(jnp.copy, params)), jax.random.key(cfg.seed))
+    opt_state, key0, best_params0 = _fit_setup(model, cfg, tx)(
+        params, jnp.uint32(cfg.seed))
+    carry = ((params, opt_state, jnp.asarray(jnp.inf), best_params0), key0)
     hists = []
     t0 = time.time()
     done = 0
@@ -291,11 +293,11 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
     (params_f, _, best_loss, best_params), _key = carry
     jax.block_until_ready(best_loss)
     wall = time.time() - t0
-    mse_hist = jnp.concatenate(hists)
+    mse_hist = np.concatenate([np.asarray(h) for h in hists])
     return FitResult(
         params=params_f, best_params=best_params, best_rec=None,
-        final_rec=None, mse_gt=np.asarray(mse_hist),
-        mse_noisy=np.asarray(mse_hist), best_mse=float(best_loss),
+        final_rec=None, mse_gt=mse_hist,
+        mse_noisy=mse_hist, best_mse=float(best_loss),
         wall_time_s=wall)
 
 
@@ -305,6 +307,30 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
 # shapes the computation; coords/target are jit ARGUMENTS, not closure
 # constants, so the same program serves any signal of the same size.
 _PROGRAMS: dict = {}
+
+
+def _fit_setup(model, cfg, tx):
+    """One jitted program building (opt_state, key, best_params copy).
+
+    On remote/tunneled backends every DISTINCT eager op compiles its own
+    tiny program at ~10s a pop (measured 2026-08-20: eager optimizer init +
+    buffer copies cost ~390s of a fresh process's first fit); folding the
+    whole setup into one cached program removes all but one of those round
+    trips."""
+    cache_key = (model, cfg, "setup")
+    hit = _PROGRAMS.get(cache_key)
+    if hit is not None:
+        return hit
+
+    def setup_impl(params, seed):
+        opt_state = tx.init(params)
+        key = jax.random.key(seed)
+        best_params = jax.tree.map(lambda x: x + 0, params)
+        return opt_state, key, best_params
+
+    prog = jax.jit(setup_impl)
+    _PROGRAMS[cache_key] = prog
+    return prog
 
 
 def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
@@ -488,10 +514,11 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     # (identical numerics — optimizer step counts carry across segments)
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     tx, run = build(seg)
-    opt_state = tx.init(params)
+    opt_state, _, best_params0 = _fit_setup(model, cfg, tx)(
+        params, jnp.uint32(cfg.seed))
     field0 = jnp.zeros(field_shape, measurement.dtype)
     carry = (params, opt_state, jnp.asarray(jnp.inf), field0,
-             jax.tree.map(jnp.copy, params))
+             best_params0)
     loss_h, tracked_h = [], []
     t0 = time.time()
     done = 0
@@ -505,11 +532,11 @@ def fit_operator(model, params, coords, measurement, operator_fn,
         done += this
     jax.block_until_ready(carry)
     wall = time.time() - t0
-    loss_hist = jnp.concatenate(loss_h)
-    tracked_hist = jnp.concatenate(tracked_h)
+    loss_hist = np.concatenate([np.asarray(h) for h in loss_h])
+    tracked_hist = np.concatenate([np.asarray(h) for h in tracked_h])
     params, _, best_loss, best_field, best_params = carry
     return FitResult(
         params=params, best_params=best_params,
         best_rec=np.asarray(best_field), final_rec=None,
-        mse_gt=np.asarray(tracked_hist), mse_noisy=np.asarray(loss_hist),
+        mse_gt=tracked_hist, mse_noisy=loss_hist,
         best_mse=float(best_loss), wall_time_s=wall)
