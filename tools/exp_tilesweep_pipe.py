@@ -66,24 +66,31 @@ def main():
                  scale_tensor=[1.0, 9.0])
     hparams = hl.init(jax.random.key(0))
 
-    for t in tiles:
-        ws.TILE_N = t
-        sec = time_scan(ws.wire_step_fused, wparams, coords, tgt,
-                        wire.spec, K)
-        print(json.dumps({"kernel": "wire_step", "tile": t, "N": N,
-                          "step_ms": round(sec * 1e3, 3),
-                          "Mcoords_s": round(N / sec / 1e6, 2)}), flush=True)
-    ws.TILE_N = 1024
+    # restore the true module defaults afterwards, whatever they are
+    # (ADVICE.md round 1: hardcoding 1024 here left stale state once the
+    # shipped default moved to 512)
+    orig_ws, orig_rm = ws.TILE_N, rm.STEP_TILE_N
+    try:
+        for t in tiles:
+            ws.TILE_N = t
+            sec = time_scan(ws.wire_step_fused, wparams, coords, tgt,
+                            wire.spec, K)
+            print(json.dumps({"kernel": "wire_step", "tile": t, "N": N,
+                              "step_ms": round(sec * 1e3, 3),
+                              "Mcoords_s": round(N / sec / 1e6, 2)}),
+                  flush=True)
 
-    for t in tiles:
-        rm.STEP_TILE_N = t
-        sec = time_scan(
-            lambda p, c, g, s: hl.step_grads(p, c, g),
-            hparams, coords, tgt, None, K)
-        print(json.dumps({"kernel": "real_step[mscale_HL]", "tile": t,
-                          "N": N, "step_ms": round(sec * 1e3, 3),
-                          "Mcoords_s": round(N / sec / 1e6, 2)}), flush=True)
-    rm.STEP_TILE_N = 1024
+        for t in tiles:
+            rm.STEP_TILE_N = t
+            sec = time_scan(
+                lambda p, c, g, s: hl.step_grads(p, c, g),
+                hparams, coords, tgt, None, K)
+            print(json.dumps({"kernel": "real_step[mscale_HL]", "tile": t,
+                              "N": N, "step_ms": round(sec * 1e3, 3),
+                              "Mcoords_s": round(N / sec / 1e6, 2)}),
+                  flush=True)
+    finally:
+        ws.TILE_N, rm.STEP_TILE_N = orig_ws, orig_rm
 
 
 if __name__ == "__main__":

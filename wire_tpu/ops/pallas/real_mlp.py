@@ -506,7 +506,11 @@ STEP_TILE_N = 1024
 
 @functools.lru_cache(maxsize=64)
 def _step_programs(kinds, widths, out_dim, n_tiles, interpret,
-                   metrics=False):
+                   metrics=False, tile_n=None):
+    # tile_n is part of the cache key: keying on n_tiles alone would reuse
+    # a program built for a different STEP_TILE_N when both yield the same
+    # tile count (ADVICE.md round 1).
+    assert tile_n is not None
     L = len(kinds)
     d = widths[0]
     wp = [_round_up(w, 128) for w in widths[1:]]
@@ -532,8 +536,8 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret,
     def imap(i):
         return (jnp.minimum(i, n_tiles - 1), 0)
 
-    tspec = pl.BlockSpec((STEP_TILE_N, op), imap, memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec((STEP_TILE_N, d), imap,
+    tspec = pl.BlockSpec((tile_n, op), imap, memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((tile_n, d), imap,
                              memory_space=pltpu.VMEM),
                 tspec]
     if metrics:
@@ -544,9 +548,9 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret,
                      fullspec((1, wp[i]))]
     in_specs += [fullspec(f_shape), fullspec((1, op))]
 
-    out_specs = [pl.BlockSpec((STEP_TILE_N, op), imap,
+    out_specs = [pl.BlockSpec((tile_n, op), imap,
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((n_tiles * STEP_TILE_N, op),
+    out_shapes = [jax.ShapeDtypeStruct((n_tiles * tile_n, op),
                                        jnp.float32)]
     if metrics:
         out_specs.append(pl.BlockSpec((2, op), lambda i: (0, 0),
@@ -568,15 +572,15 @@ def _step_programs(kinds, widths, out_dim, n_tiles, interpret,
     scratch = [pltpu.VMEM(s, jnp.float32) for s in acc_shapes]
     if metrics:
         scratch.append(pltpu.VMEM((2, op), jnp.float32))  # metric sums
-    scratch.append(pltpu.VMEM((2, STEP_TILE_N, d), jnp.float32))   # c
+    scratch.append(pltpu.VMEM((2, tile_n, d), jnp.float32))   # c
     for i in range(L):
-        scratch.append(pltpu.VMEM((2, STEP_TILE_N, wp[i]), jnp.float32))
+        scratch.append(pltpu.VMEM((2, tile_n, wp[i]), jnp.float32))
     for i in range(L):
-        scratch.append(pltpu.VMEM((2, STEP_TILE_N, wp[i]), jnp.float32))
-    scratch.append(pltpu.VMEM((2, STEP_TILE_N, op), jnp.float32))  # g
+        scratch.append(pltpu.VMEM((2, tile_n, wp[i]), jnp.float32))
+    scratch.append(pltpu.VMEM((2, tile_n, op), jnp.float32))  # g
 
     step = pl.pallas_call(
-        _make_step_kernel(L, kinds, STEP_TILE_N, n_tiles, metrics),
+        _make_step_kernel(L, kinds, tile_n, n_tiles, metrics),
         grid=(n_tiles + 1,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -607,10 +611,11 @@ def real_step_fused(canon, coords, target, kinds, *, nvalid=None,
     L = len(kinds)
     widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
     out_dim = canon["final"]["b"].shape[-1]
-    n_pad = _round_up(n, STEP_TILE_N)
+    tile_n = STEP_TILE_N
+    n_pad = _round_up(n, tile_n)
     step, wp, op = _step_programs(tuple(kinds), widths, out_dim,
-                                  n_pad // STEP_TILE_N, interpret,
-                                  want_metrics)
+                                  n_pad // tile_n, interpret,
+                                  want_metrics, tile_n=tile_n)
     padded, wfp, bfp = _pad_canonical(canon, wp, op)
     nv = jnp.full((1, 1), n, jnp.int32) if nvalid is None else \
         jnp.asarray(nvalid, jnp.int32).reshape(1, 1)
