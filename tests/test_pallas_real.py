@@ -88,3 +88,69 @@ def test_fused_mscale2_matches_jnp():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
                                    atol=2e-5,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+def test_fused_mscale_hier_matches_jnp():
+    """The whole hierarchical model canonicalized as ONE chain with
+    identity-lane carries (models._canon_mscale_hier) must reproduce the
+    stagewise jnp path: forward + native-param gradients."""
+    base = dict(in_features=2, hidden_features=40, hidden_layers=2,
+                out_features=3, scale=2.0, scale_tensor=(2.0, 7.0, 5.0))
+    ref = get_inr("bspline_mscale_hier", fused="never", **base)
+    fused = get_inr("bspline_mscale_hier", fused="always", **base)
+    params = ref.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (600, 2)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(fused.apply(params, coords)),
+                               np.asarray(ref.apply(params, coords)),
+                               rtol=2e-5, atol=1e-5)
+    target = jnp.zeros((600, 3))
+    gr = jax.grad(lambda p: jnp.mean((ref.apply(p, coords) - target) ** 2))(
+        params)
+    gf = jax.grad(lambda p: jnp.mean((fused.apply(p, coords) - target) ** 2))(
+        params)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(gr)[0],
+                               jax.tree_util.tree_flatten_with_path(gf)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
+@pytest.mark.parametrize("nonlin,kw", [
+    ("bspline_mscale_2", dict(scale=2.0, scale_tensor=(0.5, 4.0))),
+    ("bspline_mscale_hier", dict(scale=2.0, scale_tensor=(2.0, 7.0))),
+], ids=["mscale2", "mscale_hier"])
+def test_mscale_step_grads_match_autodiff(nonlin, kw):
+    """STEP_REGISTRY coverage for mscale_2/hier (VERDICT round 1 #5): the
+    registered step must equal autodiff of the reference jnp apply,
+    including the masked-row contract and in-step metric sums."""
+    base = dict(in_features=2, hidden_features=40, hidden_layers=2,
+                out_features=3)
+    base.update(kw)
+    ref = get_inr(nonlin, fused="never", **base)
+    fused = get_inr(nonlin, fused="always", **base)
+    assert fused._step is not None
+    params = ref.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    n, nvalid = 600, 543
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    target = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    denom = float(nvalid * 3)
+
+    pred_f, grads_f, sums_f = fused.step_grads(
+        params, coords, target, nvalid=jnp.int32(nvalid), denom=denom,
+        gt=gt, want_metrics=True)
+    pred_r, grads_r, sums_r = ref.step_grads(
+        params, coords, target, nvalid=jnp.int32(nvalid), denom=denom,
+        gt=gt, want_metrics=True)
+    np.testing.assert_allclose(np.asarray(pred_f), np.asarray(pred_r),
+                               rtol=2e-5, atol=1e-5)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(grads_r)[0],
+            jax.tree_util.tree_flatten_with_path(grads_f)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=f"{nonlin} {jax.tree_util.keystr(kp)}")
+    np.testing.assert_allclose(np.asarray(sums_f), np.asarray(sums_r),
+                               rtol=2e-4)

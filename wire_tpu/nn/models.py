@@ -832,14 +832,20 @@ def mscale2_apply(params, coords, spec: INRSpec):
     # here the scales are vmapped so XLA batches the per-scale GEMMs.
     use, _ = _use_fused(spec)
     if use:
-        per_scale = []
+        # ONE kernel invocation for ALL scales: the per-scale passes share
+        # (W, b) and differ only by the activation prescale 1/s, so the
+        # scale blocks stack along M and the kernel applies each block's
+        # gamma by grid index (real_mlp_fused_scales; VERDICT round 1 #5 —
+        # previously a Python loop of one fwd+bwd kernel pair per scale).
+        from wire_tpu.ops.pallas.real_mlp import real_mlp_fused_scales
         kinds = ("qspline",) * (spec.hidden_layers + 1)
-        for s in spec.scale_tensor:
-            canon = _canon_uniform(params, spec, "qspline", 1.0 / s,
-                                   lambda b, s=s: b / s)
-            per_scale.append(_fused_real(params, coords, spec, kinds,
-                                         canon))
-        outs = jnp.stack(per_scale)
+        canon = _canon_uniform(params, spec, "qspline", 1.0, lambda b: b)
+        lead = coords.shape[:-1]
+        c2 = coords.reshape(-1, coords.shape[-1])
+        inv = tuple(1.0 / s for s in spec.scale_tensor)
+        outs = real_mlp_fused_scales(canon, c2, kinds, inv,
+                                     jax.default_backend() != "tpu")
+        outs = outs.reshape((len(inv),) + lead + (outs.shape[-1],))
     else:
         scales = jnp.asarray(spec.scale_tensor, coords.dtype)
         outs = jax.vmap(lambda s: _mscale2_trunk(params, coords, spec,
@@ -888,7 +894,114 @@ def mscale_hier_init(key, spec: INRSpec):
     return params
 
 
+def _canon_mscale_hier(params, spec: INRSpec):
+    """Canonicalize the WHOLE hierarchical model as ONE chain for the fused
+    real-MLP kernels (VERDICT round 1 #5: hier previously trained entirely
+    through XLA autodiff).
+
+    The chain state carries three lane groups: [trunk (h) | coords (d) |
+    head-sum accumulator (o)].  Identity-basis lanes (real_mlp._basis_any)
+    ferry the raw coords to each stage's first layer and accumulate the
+    per-stage head outputs, so the stage recursion
+    (bspline_mscale_hier.py:112-125: stage k concats its own first-layer
+    features with stage k-1's trunk output; heads summed) becomes a plain
+    layer sequence:
+
+      stage 0:        [W0 | I_d | 0]  then HL x [[W,0,0],[0,I,0],[0,0,I]]
+      stage k>0 (A):  x_prev->copy + head_{k-1} into acc; coords->x_in
+                      (state widens to [x_in | x_prev | coords | acc])
+      stage k>0 (B):  [x_in, x_prev] @ W1; coords/acc carried
+      final linear:   [Whead_last ; 0 ; I_o], bias bhead_last
+
+    The structural zero/identity blocks are constants, so native-param
+    gradients fall out of jax.vjp through this function (the
+    _make_real_step pattern)."""
+    d, h, o = spec.in_features, spec.hidden_features, spec.out_features
+    S = len(spec.scale_tensor)
+    stages, heads = params["stages"], params["heads"]
+    dt = stages[0][0]["w"].dtype
+    I_d = jnp.eye(d, dtype=dt)
+    I_h = jnp.eye(h, dtype=dt)
+    I_o = jnp.eye(o, dtype=dt)
+    m = h + d + o
+
+    def lane_ab(s, b, carry_w):
+        alpha = jnp.concatenate([jnp.full((h,), 1.0 / s, dt),
+                                 jnp.ones((carry_w,), dt)])
+        beta = jnp.concatenate([b / s, jnp.zeros((carry_w,), dt)])
+        return alpha, beta
+
+    layers = []
+    s0 = spec.scale_tensor[0]
+    # stage-0 first layer: coords -> [x | coords | acc=0]
+    W = jnp.zeros((d, m), dt)
+    W = W.at[:, :h].set(stages[0][0]["w"]).at[:, h:h + d].set(I_d)
+    al, be = lane_ab(s0, stages[0][0]["b"], d + o)
+    layers.append({"w": W, "alpha": al, "beta": be})
+
+    def mid(lay, s):
+        W = jnp.zeros((m, m), dt)
+        W = (W.at[:h, :h].set(lay["w"])
+             .at[h:h + d, h:h + d].set(I_d)
+             .at[h + d:, h + d:].set(I_o))
+        al, be = lane_ab(s, lay["b"], d + o)
+        return {"w": W, "alpha": al, "beta": be}
+
+    for lay in stages[0][1:]:
+        layers.append(mid(lay, s0))
+
+    for k in range(1, S):
+        sk = spec.scale_tensor[k]
+        # (A) widen: [x_prev | coords | acc] -> [x_in | x_prev | coords |
+        # acc + head_{k-1}(x_prev)]
+        W = jnp.zeros((m, h + m), dt)
+        W = (W.at[:h, h:2 * h].set(I_h)
+             .at[:h, 2 * h + d:].set(heads[k - 1]["w"])
+             .at[h:h + d, :h].set(stages[k][0]["w"])
+             .at[h:h + d, 2 * h:2 * h + d].set(I_d)
+             .at[h + d:, 2 * h + d:].set(I_o))
+        al = jnp.concatenate([jnp.full((h,), 1.0 / sk, dt),
+                              jnp.ones((h + d + o,), dt)])
+        be = jnp.concatenate([stages[k][0]["b"] / sk,
+                              jnp.zeros((h + d,), dt),
+                              heads[k - 1]["b"]])
+        layers.append({"w": W, "alpha": al, "beta": be})
+        # (B) contract: [x_in, x_prev] @ W1 (the reference's concat layer);
+        # coords/acc carried
+        W = jnp.zeros((h + m, m), dt)
+        W = (W.at[:2 * h, :h].set(stages[k][1]["w"])
+             .at[2 * h:2 * h + d, h:h + d].set(I_d)
+             .at[2 * h + d:, h + d:].set(I_o))
+        al, be = lane_ab(sk, stages[k][1]["b"], d + o)
+        layers.append({"w": W, "alpha": al, "beta": be})
+        for lay in stages[k][2:]:
+            layers.append(mid(lay, sk))
+
+    wf = jnp.zeros((m, o), dt)
+    wf = wf.at[:h, :].set(heads[-1]["w"]).at[h + d:, :].set(I_o)
+    return {"layers": layers,
+            "final": {"w": wf, "b": heads[-1]["b"]}}
+
+
+def _hier_kinds(spec: INRSpec):
+    d, h, o = spec.in_features, spec.hidden_features, spec.out_features
+    S = len(spec.scale_tensor)
+    # layers per stage = first + second + max(hidden_layers-1, 0) extras
+    # (mscale_hier_init mirrors bspline_mscale_hier.py:99-110)
+    ntrunk = 2 + max(spec.hidden_layers - 1, 0)
+    mid = (("qspline", h), ("identity", d + o))
+    kinds = [mid] * ntrunk                         # stage 0
+    for _ in range(1, S):
+        kinds.append((("qspline", h), ("identity", h + d + o)))   # (A)
+        kinds.extend([mid] * (ntrunk - 1))         # (B) + extras
+    return tuple(kinds)
+
+
 def mscale_hier_apply(params, coords, spec: INRSpec):
+    use, _ = _use_fused(spec)
+    if use:
+        return _fused_real(params, coords, spec, _hier_kinds(spec),
+                           _canon_mscale_hier(params, spec))
     outs = []
     x = coords
     for stage, s in enumerate(spec.scale_tensor):
@@ -972,3 +1085,48 @@ mscale_repin_step = _make_real_step(
 mscale_hl_step = _make_real_step(
     lambda spec: ("qspline",) * (max(spec.hidden_layers - 1, 0) + 2),
     _canon_mscale_hl, use_ok=_mscale_hl_fusable)
+
+# Hierarchical stages as ONE canonical chain (identity lanes carry coords +
+# the head-sum accumulator, _canon_mscale_hier): the one-pass train-step
+# kernel applies directly.
+mscale_hier_step = _make_real_step(_hier_kinds, _canon_mscale_hier)
+
+
+def mscale2_step(params, coords, target, spec: INRSpec, *, nvalid=None,
+                 denom=None, gt=None, want_metrics=False):
+    """mscale_2 training step: autodiff over the scale-stacked fused apply.
+
+    The structure this buys on TPU: ONE fused forward kernel for all
+    scales (real_mlp_fused_scales, M-stacked with per-tile gamma) + the
+    tiny XLA combiner + ONE fused backward kernel through the custom VJP —
+    versus one kernel pair per scale before (VERDICT round 1 #5).  A true
+    one-pass fwd+loss+bwd kernel was not built for this family: the
+    'freq_combine' combiner (bspline_mscale_2.py:78-92) mixes the
+    per-scale row blocks of the same coordinate, which breaks the step
+    kernel's row-independent tiling (see PERF.md)."""
+    use, _ = _use_fused(spec)
+    if not use:
+        return None
+    n, c = target.shape
+    dn = float(n * c) if denom is None else denom
+    mask = None
+    if nvalid is not None:
+        mask = (jnp.arange(n)[:, None] < nvalid)
+
+    def loss_fn(p):
+        pred = mscale2_apply(p, coords, spec)
+        err = pred - target
+        if mask is not None:
+            err = err * mask.astype(pred.dtype)
+        return jnp.sum(err * err) / dn, pred
+
+    (_, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if not want_metrics:
+        return pred, grads
+    err_t = pred - target
+    err_g = err_t if gt is None else pred - gt
+    if mask is not None:
+        m = mask.astype(pred.dtype)
+        err_t = err_t * m
+        err_g = err_g * m
+    return pred, grads, (jnp.sum(err_t * err_t), jnp.sum(err_g * err_g))

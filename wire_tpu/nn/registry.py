@@ -50,6 +50,11 @@ STEP_REGISTRY: Dict[str, Callable] = {
     "bspline_mscale_1_new": M.mscale_repin_step,
     "bspline_mscale_repIN": M.mscale_repin_step,
     "bspline_mscale_HL": M.mscale_hl_step,
+    # mscale_2: autodiff over the ONE-invocation scale-stacked fused apply
+    # (fwd kernel + XLA combiner + bwd kernel); mscale_hier: full one-pass
+    # step over the canonicalized single chain (models._canon_mscale_hier).
+    "bspline_mscale_2": M.mscale2_step,
+    "bspline_mscale_hier": M.mscale_hier_step,
 }
 
 # Default (first_omega0, hidden_omega0, scale) per family, matching each

@@ -101,6 +101,52 @@ def _basis(kind):
     raise ValueError(kind)
 
 
+def _basis_any(kind):
+    """Basis for a layer kind that is either one name (all lanes) or a tuple
+    of ``(name, width)`` segments applied to contiguous lane ranges — the
+    mechanism that lets one canonical chain carry heterogeneous lanes (e.g.
+    mscale_hier: B-spline trunk lanes + identity lanes ferrying the raw
+    coords and the per-stage head accumulator, models._canon_mscale_hier).
+    Lanes beyond the segments' total width (padding) produce zeros."""
+    if isinstance(kind, str):
+        return _basis(kind)
+    segs = tuple(kind)
+
+    def _masked(v, fns):
+        w = v.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        out = jnp.zeros_like(v)
+        lo = 0
+        for (name, seg_w), f in zip(segs, fns):
+            m = ((lane >= lo) & (lane < lo + seg_w)).astype(v.dtype)
+            out = out + m * f(v)
+            lo += seg_w
+        return out
+
+    Bs = [_basis(name)[0] for name, _ in segs]
+    dBs = [_basis(name)[1] for name, _ in segs]
+
+    def B(v):
+        return _masked(v, Bs)
+
+    def dB(v):
+        return _masked(v, dBs)
+    return B, dB
+
+
+def _gamma_of(i, row_gamma):
+    """Per-tile activation prescale: with coordinates stacked per scale
+    along M (mscale_2's per-scale trunk passes, bspline_mscale_2.py:159-172),
+    every tile belongs to exactly one scale block and its gamma is a scalar
+    selected from the static scale tuple by the grid index."""
+    gammas, tiles_per_block = row_gamma
+    blk = i // tiles_per_block
+    g = jnp.float32(0)
+    for k, gv in enumerate(gammas):
+        g = jnp.where(blk == k, jnp.float32(gv), g)
+    return g
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -117,20 +163,22 @@ def _dot_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds):
+def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds, gamma=None):
     a = c
     acts = []
     for W, al, be, kind in zip(ws, alphas, betas, kinds):
-        B, _ = _basis(kind)
+        B, _ = _basis_any(kind)
         z = _dot(a, W)
         v = al * z + be
+        if gamma is not None:
+            v = gamma * v
         a = B(v)
         acts.append((z, a))
     y = _dot(a, wf) + bf
     return acts, y
 
 
-def _make_fwd_kernel(L, kinds):
+def _make_fwd_kernel(L, kinds, row_gamma=None):
     def kernel(*refs):
         c_ref = refs[0]
         ws = [refs[1 + 3 * i][:] for i in range(L)]
@@ -139,12 +187,15 @@ def _make_fwd_kernel(L, kinds):
         wf = refs[1 + 3 * L][:]
         bf = refs[2 + 3 * L][:]
         out_ref = refs[3 + 3 * L]
-        _, y = _fwd_recurrence(c_ref[:], ws, alphas, betas, wf, bf, kinds)
+        gamma = (None if row_gamma is None
+                 else _gamma_of(pl.program_id(0), row_gamma))
+        _, y = _fwd_recurrence(c_ref[:], ws, alphas, betas, wf, bf, kinds,
+                               gamma)
         out_ref[:] = y
     return kernel
 
 
-def _make_bwd_kernel(L, kinds):
+def _make_bwd_kernel(L, kinds, row_gamma=None):
     def kernel(*refs):
         c_ref = refs[0]
         g_ref = refs[1]
@@ -160,6 +211,7 @@ def _make_bwd_kernel(L, kinds):
         dwf_ref = outs[1 + 3 * L]
         dbf_ref = outs[2 + 3 * L]
         i = pl.program_id(0)
+        gamma = None if row_gamma is None else _gamma_of(i, row_gamma)
 
         def acc(ref, val):
             @pl.when(i == 0)
@@ -172,7 +224,7 @@ def _make_bwd_kernel(L, kinds):
 
         c = c_ref[:]
         acts, _ = _fwd_recurrence(c, ws, alphas, betas,
-                                  wf, refs[3 + 3 * L][:], kinds)
+                                  wf, refs[3 + 3 * L][:], kinds, gamma)
         g = g_ref[:]
         a_last = acts[-1][1]
         acc(dwf_ref, _dot_tn(a_last, g))
@@ -180,9 +232,15 @@ def _make_bwd_kernel(L, kinds):
         da = _dot_nt(g, wf)
         for li in range(L - 1, -1, -1):
             z, _ = acts[li]
-            _, dB = _basis(kinds[li])
+            _, dB = _basis_any(kinds[li])
             v = alphas[li] * z + betas[li]
+            if gamma is not None:
+                v = gamma * v
             dv = dB(v) * da
+            # v = gamma*(alpha*z + beta): the gamma factor distributes onto
+            # dz, dalpha and dbeta alike
+            if gamma is not None:
+                dv = gamma * dv
             dz = alphas[li] * dv
             acc(dals[li], jnp.sum(z * dv, axis=0, keepdims=True))
             acc(dbes[li], jnp.sum(dv, axis=0, keepdims=True))
@@ -197,7 +255,7 @@ TILE_N = 512
 
 
 @functools.lru_cache(maxsize=64)
-def _programs(kinds, widths, out_dim, n_tiles, interpret):
+def _programs(kinds, widths, out_dim, n_tiles, interpret, row_gamma=None):
     L = len(kinds)
     d = widths[0]
     wp = [_round_up(w, 128) for w in widths[1:]]
@@ -223,7 +281,7 @@ def _programs(kinds, widths, out_dim, n_tiles, interpret):
     in_specs += [fullspec(f_shape), fullspec((1, op))]
 
     fwd = pl.pallas_call(
-        _make_fwd_kernel(L, kinds),
+        _make_fwd_kernel(L, kinds, row_gamma),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE_N, op), lambda i: (i, 0),
@@ -252,7 +310,7 @@ def _programs(kinds, widths, out_dim, n_tiles, interpret):
                    jax.ShapeDtypeStruct((1, op), jnp.float32)]
 
     bwd = pl.pallas_call(
-        _make_bwd_kernel(L, kinds),
+        _make_bwd_kernel(L, kinds, row_gamma),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((TILE_N, dp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -289,23 +347,26 @@ def _pad_canonical(canon, wp, op):
     return padded, wfp, bfp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def real_mlp_fused(canon, coords, kinds, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def real_mlp_fused(canon, coords, kinds, interpret=False, row_gamma=None):
     """canon: {'layers': [{'w','alpha','beta'}...], 'final': {'w','b'}};
-    coords (N, d); kinds: tuple of basis names per layer.
+    coords (N, d); kinds: tuple of basis names per layer (each entry a name
+    or a ``((name, width), ...)`` lane-segment tuple, see _basis_any).
+    row_gamma: optional ``(gammas, tiles_per_block)`` per-tile activation
+    prescale for scale-stacked inputs (see real_mlp_fused_scales).
     Differentiable in canon and coords (gradients flow back through the
     jnp-side canonicalization to the family's native params)."""
-    out, _ = _fwd(canon, coords, kinds, interpret)
+    out, _ = _fwd(canon, coords, kinds, interpret, row_gamma)
     return out
 
 
-def _fwd(canon, coords, kinds, interpret):
+def _fwd(canon, coords, kinds, interpret, row_gamma=None):
     n, d = coords.shape
     widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
     out_dim = canon["final"]["b"].shape[-1]
     n_pad = _round_up(n, TILE_N)
     fwd, _, wp, op = _programs(tuple(kinds), widths, out_dim,
-                               n_pad // TILE_N, interpret)
+                               n_pad // TILE_N, interpret, row_gamma)
     padded, wfp, bfp = _pad_canonical(canon, wp, op)
     args = [jnp.pad(coords, ((0, n_pad - n), (0, 0)))]
     for Wp, al, be in padded:
@@ -315,14 +376,14 @@ def _fwd(canon, coords, kinds, interpret):
     return out[:n, :out_dim], (canon, coords)
 
 
-def _bwd(kinds, interpret, res, g):
+def _bwd(kinds, interpret, row_gamma, res, g):
     canon, coords = res
     n, d = coords.shape
     widths = (d,) + tuple(l["w"].shape[1] for l in canon["layers"])
     out_dim = canon["final"]["b"].shape[-1]
     n_pad = _round_up(n, TILE_N)
     _, bwd, wp, op = _programs(tuple(kinds), widths, out_dim,
-                               n_pad // TILE_N, interpret)
+                               n_pad // TILE_N, interpret, row_gamma)
     padded, wfp, bfp = _pad_canonical(canon, wp, op)
     args = [jnp.pad(coords, ((0, n_pad - n), (0, 0))),
             jnp.pad(g, ((0, n_pad - n), (0, op - out_dim)))]
@@ -353,6 +414,31 @@ def _bwd(kinds, interpret, res, g):
 
 
 real_mlp_fused.defvjp(_fwd, _bwd)
+
+
+def real_mlp_fused_scales(canon, coords, kinds, inv_scales, interpret=False):
+    """Run the SAME canonical trunk at several activation scales in ONE
+    kernel invocation — the mscale_2 per-scale passes
+    (bspline_mscale_2.py:159-172) stacked along M instead of looped in
+    Python (VERDICT round 1 #5).
+
+    Each scale's coordinate block is padded to a tile multiple and the
+    blocks are concatenated along rows; every tile then belongs to exactly
+    one scale, and the kernel selects that block's gamma = 1/s from the
+    static tuple by grid index (no extra tensor input).  The activation
+    becomes B(gamma * (alpha*z + beta)) with shared (W, alpha, beta) —
+    for mscale_2, alpha=1 / beta=b gives B((z + b)/s) per block.
+
+    Returns (n_scales, N, out).  Differentiable: the pad/tile are jnp ops
+    (coordinate grads sum over blocks), shared-weight grads accumulate
+    across all blocks inside the backward kernel."""
+    n, d = coords.shape
+    n_pad = _round_up(n, TILE_N)
+    S = len(inv_scales)
+    X = jnp.tile(jnp.pad(coords, ((0, n_pad - n), (0, 0))), (S, 1))
+    row_gamma = (tuple(float(g) for g in inv_scales), n_pad // TILE_N)
+    out = real_mlp_fused(canon, X, tuple(kinds), interpret, row_gamma)
+    return out.reshape(S, n_pad, out.shape[-1])[:, :n, :]
 
 
 # ===========================================================================
@@ -444,14 +530,14 @@ def _make_step_kernel(L, kinds, tile_n, n_tiles, metrics):
         a = c
         for li in range(L):
             # fwd layer li of tile i ...
-            B, _ = _basis(kinds[li])
+            B, _ = _basis_any(kinds[li])
             z = _dot(a, ws[li])
             sc_z[li][sf] = z
 
             # ... zipped with bwd layer L-1-li of tile i-1
             bj = L - 1 - li
             z_b = sc_z[bj][sb]
-            _, dB = _basis(kinds[bj])
+            _, dB = _basis_any(kinds[bj])
             v_b = alphas[bj] * z_b + betas[bj]
             dv = dB(v_b) * da
             dz = alphas[bj] * dv
