@@ -155,3 +155,98 @@ def test_per_stage_lr_groups():
     res = fit_pointwise(model, params, C.grid2d(H, W), im.reshape(-1, 1),
                         cfg, track="noisy")
     assert res.mse_noisy[-1] < res.mse_noisy[0] / 3
+
+
+def test_checkpoint_resume_reproduces_uninterrupted_fit(tmp_path,
+                                                        monkeypatch):
+    """Kill-and-resume (VERDICT round 1 #7): a fit killed right after a
+    mid-run checkpoint write and resumed from its CheckpointSpec must
+    reproduce the uninterrupted trajectory exactly — the carry holds the
+    full state (params, Adam state incl. step counts, rec buffer, epoch key
+    stream, best-* tracking)."""
+    import wire_tpu.train.trainer as T
+    from wire_tpu.train.trainer import CheckpointSpec
+
+    im = I.synthetic_image(24, 24, 3, seed=0)
+    coords = C.grid2d(24, 24)
+    target = im.reshape(-1, 3)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    # stochastic minibatches + segments of 4 epochs
+    cfg = FitConfig(learning_rate=5e-3, niters=16, maxpoints=128,
+                    scan_segment=4)
+
+    ref = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                        target, cfg, track="noisy", donate=False)
+
+    # "kill" the process right after the 2nd checkpoint write (8/16 epochs)
+    ckpt = CheckpointSpec(path=str(tmp_path / "fit.ckpt"), every=1)
+    orig_save = T._save_fit_state
+    calls = {"n": 0}
+
+    def killing_save(path, carry, hists, done):
+        orig_save(path, carry, hists, done)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(T, "_save_fit_state", killing_save)
+    with pytest.raises(KeyboardInterrupt):
+        fit_pointwise(model, jax.tree.map(jnp.copy, params), coords, target,
+                      cfg, track="noisy", donate=False, checkpoint=ckpt)
+    monkeypatch.setattr(T, "_save_fit_state", orig_save)
+
+    # resume to the full 16 — the params arg is a fresh init, must be
+    # superseded by the checkpointed state
+    res = fit_pointwise(model, jax.tree.map(jnp.copy, params), coords,
+                        target, cfg, track="noisy", donate=False,
+                        checkpoint=ckpt)
+
+    np.testing.assert_array_equal(res.mse_noisy, ref.mse_noisy)
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(res.best_rec, ref.best_rec)
+    np.testing.assert_array_equal(res.final_rec, ref.final_rec)
+
+
+def test_checkpoint_resume_operator_fit(tmp_path, monkeypatch):
+    import wire_tpu.train.trainer as T
+    from wire_tpu.train.trainer import CheckpointSpec
+    from wire_tpu.ops.resample import avg_pool2d
+
+    H = W = 16
+    im = I.synthetic_image(H, W, 1, seed=2)[..., 0]
+    coords = C.grid2d(H, W)
+
+    def op(field):
+        return avg_pool2d(field[None, None], 4)[0, 0]
+
+    meas = np.asarray(jax.jit(op)(jnp.asarray(im)))
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=1, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=12, scan_segment=4)
+    ref = fit_operator(model, jax.tree.map(jnp.copy, params), coords, meas,
+                       op, cfg, gt_field=im, field_shape=(H, W),
+                       donate=False)
+    ckpt = CheckpointSpec(path=str(tmp_path / "op.ckpt"))
+    orig_save = T._save_fit_state
+
+    def killing_save(path, carry, hists, done):
+        orig_save(path, carry, hists, done)
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(T, "_save_fit_state", killing_save)
+    with pytest.raises(KeyboardInterrupt):
+        fit_operator(model, jax.tree.map(jnp.copy, params), coords, meas,
+                     op, cfg, gt_field=im, field_shape=(H, W), donate=False,
+                     checkpoint=ckpt)
+    monkeypatch.setattr(T, "_save_fit_state", orig_save)
+    res = fit_operator(model, jax.tree.map(jnp.copy, params), coords, meas,
+                       op, cfg, gt_field=im, field_shape=(H, W),
+                       donate=False, checkpoint=ckpt)
+    np.testing.assert_array_equal(res.mse_noisy, ref.mse_noisy)
+    np.testing.assert_array_equal(res.best_rec, ref.best_rec)

@@ -18,6 +18,7 @@ dispatch.  Coordinates can be sharded over a device mesh (see wire_tpu.dist).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Optional
@@ -49,6 +50,65 @@ class FitConfig:
     # tunneled backend); the fit loops over segments carrying state
     # (optimizer counts continue across segments, so results are identical)
     scan_segment: int = 250
+
+
+@dataclasses.dataclass
+class CheckpointSpec:
+    """Mid-fit checkpoint/resume (the capability the reference lacks,
+    SURVEY.md §5): the fitter snapshots its full scan carry — params,
+    optimizer state, reconstruction buffer, RNG key, best-* tracking — plus
+    the metric history at segment boundaries (the natural boundary: one
+    device program per <=scan_segment epochs).  A resumed fit reproduces
+    the uninterrupted trajectory exactly (the carry IS the whole state:
+    optimizer step counts and the epoch key stream continue bit-for-bit) —
+    tested in tests/test_trainer.py."""
+    path: str
+    every: int = 1       # segments between saves
+    resume: bool = True  # load an existing checkpoint before fitting
+
+
+def _is_key(leaf):
+    return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+
+
+def _save_fit_state(path, carry, hists, done):
+    leaves, _ = jax.tree_util.tree_flatten(carry)
+    payload = {}
+    for i, leaf in enumerate(leaves):
+        if _is_key(leaf):
+            leaf = jax.random.key_data(leaf)
+        payload[f"leaf_{i}"] = np.asarray(leaf)
+    payload["done"] = np.int64(done)
+    payload["nhist"] = np.int64(len(hists))
+    for j, h in enumerate(hists):
+        for k, arr in enumerate(h if isinstance(h, tuple) else (h,)):
+            payload[f"hist_{j}_{k}"] = np.asarray(arr)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)  # atomic: a kill mid-save leaves the old file
+
+
+def _load_fit_state(path, carry_template, hist_arity):
+    with np.load(path) as z:
+        leaves, treedef = jax.tree_util.tree_flatten(carry_template)
+        out = []
+        for i, leaf in enumerate(leaves):
+            arr = z[f"leaf_{i}"]
+            if _is_key(leaf):
+                out.append(jax.random.wrap_key_data(
+                    jnp.asarray(arr).astype(jnp.uint32)))
+            else:
+                out.append(jnp.asarray(arr).astype(leaf.dtype))
+        carry = jax.tree_util.tree_unflatten(treedef, out)
+        done = int(z["done"])
+        hists = []
+        for j in range(int(z["nhist"])):
+            if hist_arity is None:
+                hists.append(np.asarray(z[f"hist_{j}_0"]))
+            else:
+                hists.append(tuple(np.asarray(z[f"hist_{j}_{k}"])
+                                   for k in range(hist_arity)))
+    return carry, hists, done
 
 
 @dataclasses.dataclass
@@ -131,7 +191,8 @@ def make_optimizer(cfg: FitConfig, params, npoints=None, nchunks=1):
 
 def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
                   gt=None, track="gt", tv_weight=0.0, image_shape=None,
-                  donate=True, epoch_metric: Optional[Callable] = None):
+                  donate=True, epoch_metric: Optional[Callable] = None,
+                  checkpoint: Optional[CheckpointSpec] = None):
     """Fit an INR pointwise to ``target`` sampled at ``coords``.
 
     coords: (N, d); target: (N, c); gt: optional clean (N, c) for metrics and
@@ -163,8 +224,12 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     carry = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
              jnp.zeros_like(target), best_params)
     hists = []
-    t0 = time.time()
     done = 0
+    if checkpoint is not None and checkpoint.resume and \
+            os.path.exists(checkpoint.path):
+        carry, hists, done = _load_fit_state(checkpoint.path, carry, 3)
+    t0 = time.time()
+    nseg = 0
     while done < cfg.niters:
         this = min(seg, cfg.niters - done)
         if this != seg:
@@ -174,6 +239,13 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
         carry, hist = run(carry, coords, target, gt_arr)
         hists.append(hist)
         done += this
+        nseg += 1
+        if checkpoint is not None and (nseg % max(checkpoint.every, 1) == 0
+                                       or done >= cfg.niters):
+            # histories are concatenated host-side anyway; normalize the
+            # saved copies so a resumed run appends cleanly
+            hists = [tuple(np.asarray(a) for a in h) for h in hists]
+            _save_fit_state(checkpoint.path, carry, hists, done)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     # host-side concatenation: an eager jnp.concatenate would compile one
@@ -458,7 +530,8 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
 
 def fit_operator(model, params, coords, measurement, operator_fn,
                  cfg: FitConfig, *, gt_field=None, field_shape,
-                 track="gt", donate=True):
+                 track="gt", donate=True,
+                 checkpoint: Optional[CheckpointSpec] = None):
     """Fit through a differentiable forward operator: every iteration renders
     the FULL coordinate grid, applies ``operator_fn`` and takes the MSE
     against ``measurement`` (the CT/SISR loop shape, bspline_ct.py:146-157,
@@ -520,8 +593,14 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     carry = (params, opt_state, jnp.asarray(jnp.inf), field0,
              best_params0)
     loss_h, tracked_h = [], []
-    t0 = time.time()
     done = 0
+    if checkpoint is not None and checkpoint.resume and \
+            os.path.exists(checkpoint.path):
+        carry, hists, done = _load_fit_state(checkpoint.path, carry, 2)
+        loss_h = [h[0] for h in hists]
+        tracked_h = [h[1] for h in hists]
+    t0 = time.time()
+    nseg = 0
     while done < cfg.niters:
         this = min(seg, cfg.niters - done)
         if this != seg:
@@ -530,6 +609,13 @@ def fit_operator(model, params, coords, measurement, operator_fn,
         loss_h.append(lh)
         tracked_h.append(th)
         done += this
+        nseg += 1
+        if checkpoint is not None and (nseg % max(checkpoint.every, 1) == 0
+                                       or done >= cfg.niters):
+            loss_h = [np.asarray(h) for h in loss_h]
+            tracked_h = [np.asarray(h) for h in tracked_h]
+            _save_fit_state(checkpoint.path, carry,
+                            list(zip(loss_h, tracked_h)), done)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     loss_hist = np.concatenate([np.asarray(h) for h in loss_h])
