@@ -200,3 +200,71 @@ def test_sharded_epoch_sums_keeps_iou():
     inter, union = res8.time_array
     iou8 = inter / union
     np.testing.assert_allclose(iou8, res1.time_array, rtol=1e-5)
+
+
+def test_grid_rows_matches_grid3d():
+    H, W, T = 6, 5, 4
+    full = C.grid3d(H, W, T)
+    rows = np.concatenate([C.grid_rows(H, W, T, lo, min(lo + 23, H * W * T))
+                           for lo in range(0, H * W * T, 23)])
+    np.testing.assert_array_equal(rows, full)
+
+
+def test_feed_rows_assembles_global_array():
+    """multihost.feed_rows (SURVEY §7.5 data path): per-process row feeding
+    must assemble the same global sharded array as materializing it."""
+    from wire_tpu.dist import multihost as MH
+
+    mesh = make_mesh(8)
+    H = W = T = 8
+    n = H * W * T
+    fed = MH.feed_rows(mesh, lambda lo, hi: C.grid_rows(H, W, T, lo, hi), n)
+    assert fed.shape == (n, 3)
+    np.testing.assert_array_equal(np.asarray(fed), C.grid3d(H, W, T))
+    lo, hi = MH.local_row_range(mesh, n)
+    assert (lo, hi) == (0, n)  # single process owns everything
+
+
+def test_fit_with_fed_rows_matches_numpy_input():
+    from wire_tpu.dist import multihost as MH
+
+    model, params, coords, target = _setup(H=16, W=16)
+    mesh = make_mesh(8)
+    n = coords.shape[0]
+    cfg = FitConfig(learning_rate=5e-3, niters=6, maxpoints=n)
+    res_np = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                   coords, target, cfg, mesh, track="noisy",
+                                   donate=False)
+    fed_c = MH.feed_rows(mesh, lambda lo, hi: coords[lo:hi], n)
+    fed_t = MH.feed_rows(mesh, lambda lo, hi: target[lo:hi], n)
+    res_fed = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                    fed_c, fed_t, cfg, mesh, track="noisy",
+                                    donate=False)
+    np.testing.assert_array_equal(res_fed.mse_noisy, res_np.mse_noisy)
+    np.testing.assert_array_equal(res_fed.final_rec, res_np.final_rec)
+
+
+def test_multihost_initialize_noop_single_process():
+    from wire_tpu.dist import multihost as MH
+    assert MH.initialize() is False
+    mesh = MH.make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_sharded_segmented_scan_composes():
+    """Forced-small scan_segment (the 134M-point segmenting path, VERDICT
+    round 1 #3): multiple segments incl. a remainder-length program must
+    equal the single-segment fit exactly."""
+    model, params, coords, target = _setup(H=16, W=16)
+    mesh = make_mesh(8)
+    base = dict(learning_rate=5e-3, niters=5, maxpoints=64)
+    res1 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target,
+                                 FitConfig(**base, scan_segment=250), mesh,
+                                 track="noisy", donate=False)
+    res2 = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                 coords, target,
+                                 FitConfig(**base, scan_segment=2), mesh,
+                                 track="noisy", donate=False)
+    np.testing.assert_array_equal(res2.mse_noisy, res1.mse_noisy)
+    np.testing.assert_array_equal(res2.final_rec, res1.final_rec)

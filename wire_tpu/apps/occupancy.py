@@ -74,8 +74,18 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
     if nonlin == "posenc":
         model_nonlin, pos_encode = "relu", True
 
-    coords = C.get_coords(H, W, T)
-    target = im.reshape(-1, 1)
+    if mesh is not None:
+        # per-host shard feeding: each process computes only the coordinate
+        # rows its devices own — no host materializes the full grid
+        # (dist/multihost.py; 512^3 = 134M points, wire_occupancy.py:72)
+        from wire_tpu.dist import multihost as MH
+        flat = im.reshape(-1, 1)
+        coords = MH.feed_rows(
+            mesh, lambda lo, hi: C.grid_rows(H, W, T, lo, hi), npoints)
+        target = MH.feed_rows(mesh, lambda lo, hi: flat[lo:hi], npoints)
+    else:
+        coords = C.get_coords(H, W, T)
+        target = im.reshape(-1, 1)
     model = get_inr(model_nonlin, in_features=3, out_features=1,
                     hidden_features=hidden_features,
                     hidden_layers=hidden_layers, first_omega0=omega0,

@@ -38,6 +38,26 @@ def get_coords(H, W, T=None, dtype=np.float32):
     return grid3d(H, W, T, dtype)
 
 
+def grid_rows(H, W, T, lo, hi, dtype=np.float32):
+    """Rows [lo, hi) of ``grid3d(H, W, T)`` computed directly from flat
+    indices — the per-host feeding primitive for multi-host fits: no host
+    ever materializes the full 134M-point coordinate array
+    (wire_occupancy.py:72 at 512^3; SURVEY.md §7 hard part 4).
+
+    grid3d uses np.meshgrid(x_H, y_W, z_T) with 'xy' indexing, whose output
+    shape is (W, H, T): flat index n = i*(H*T) + j*T + k with coords
+    (x[j], y[i], z[k]).
+    """
+    n = np.arange(lo, hi, dtype=np.int64)
+    x = np.linspace(-1, 1, H, dtype=dtype)
+    y = np.linspace(-1, 1, W, dtype=dtype)
+    z = np.linspace(-1, 1, T, dtype=dtype)
+    i = n // (H * T)
+    j = (n // T) % H
+    k = n % T
+    return np.stack([x[j], y[i], z[k]], axis=-1)
+
+
 def jgrid2d(H, W, dtype=jnp.float32):
     """On-device 2D grid (same layout as grid2d)."""
     x = jnp.linspace(-1, 1, W, dtype=dtype)
