@@ -50,7 +50,8 @@ def _iou_sums(thres):
 
 def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         niters=200, size=64, scale=1.0, maxpoints=int(2e5),
-        hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None):
+        hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None,
+        scan_segment=None, checkpoint_path=None):
     A.log(f"Running {nonlin} occupancy")
     if volume_mat:
         im = V.load_volume_mat(volume_mat, scale=scale)
@@ -96,6 +97,15 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
 
     fit_cfg = FitConfig(learning_rate=_LR.get(nonlin, 5e-3), niters=niters,
                         maxpoints=maxpoints, lr_decay=0.2, seed=seed)
+    if scan_segment is not None:
+        # big volumes: keep each device program under the remote-backend
+        # execution deadline (~1s/epoch at 256^3)
+        import dataclasses
+        fit_cfg = dataclasses.replace(fit_cfg, scan_segment=scan_segment)
+    ckpt = None
+    if checkpoint_path:
+        from wire_tpu.train.trainer import CheckpointSpec
+        ckpt = CheckpointSpec(path=checkpoint_path)
     timu = jax.numpy.asarray(target)
 
     def epoch_iou(rec):
@@ -114,12 +124,20 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
             np.asarray(union, np.float64), 1.0)
     else:
         res = fit_pointwise(model, params, coords, target, fit_cfg,
-                            track="noisy", epoch_metric=epoch_iou)
+                            track="noisy", epoch_metric=epoch_iou,
+                            checkpoint=ckpt)
         iou_hist = res.time_array
 
     best = res.best_rec.reshape(H, W, T)
-    best_iou = float(M.iou(best, im, mcubes_thres))
-    psnr = float(M.psnr_ref(im, best))
+    # final metrics in numpy: on tunneled backends every distinct eager
+    # device op costs a remote-compile round trip (CLAUDE.md), and these
+    # reductions are host-cheap even at 512^3
+    bt = np.where(best >= mcubes_thres, 1.0, 0.0)
+    inter = np.count_nonzero(np.logical_and(bt != 0, im != 0))
+    union = np.count_nonzero(np.logical_or(bt != 0, im != 0))
+    best_iou = inter / max(union, 1)
+    psnr = float(10.0 * np.log10(im.max()
+                                 / np.mean((im - best) ** 2)))
     A.log(f"IoU: {best_iou}")
     A.log(f"Best PSNR: {psnr} dB")
     A.log(f"Total parameters: {nparams / 1e6} million")
