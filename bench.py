@@ -41,6 +41,15 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 def main():
     t00 = time.time()
     import jax
+    # co-register a cpu backend next to the accelerator: model init and all
+    # fit setup then compile/run on the host (trainer._host_setup_device),
+    # so the tunneled backend sees exactly ONE program — the fit scan.
+    try:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from wire_tpu.nn import get_inr
     from wire_tpu.signals import coords as C, image as I, noise as N

@@ -109,7 +109,19 @@ class INR:
         if prog is None:
             prog = jax.jit(lambda k: self._init(k, self.spec))
             _INIT_PROGRAMS[self] = prog
-        return prog(key)
+        # when a cpu backend is co-registered (jax_platforms='axon,cpu'),
+        # init on the host and transfer — the tunneled backend then never
+        # compiles an init program at all
+        from wire_tpu.train.trainer import _host_setup_device
+        host = _host_setup_device()
+        if host is None:
+            return prog(key)
+        try:
+            with jax.default_device(host):
+                params = prog(jax.device_put(key, host))
+            return jax.device_put(params, jax.devices()[0])
+        except Exception:
+            return prog(key)
 
     def apply(self, params, coords, **kw):
         return self._apply(params, coords, self.spec, **kw)

@@ -216,13 +216,14 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     tx, run = _pointwise_program(
         model, cfg, seg, npoints, nchunks, mp, npad, track, tv_weight,
         image_shape, epoch_metric, donate)
-    opt_state, key, best_params = _fit_setup(model, cfg, tx)(
-        params, jnp.uint32(cfg.seed))
+    params, opt_state, key, best_params = _run_setup(model, cfg, tx, params)
 
-    # distinct buffers everywhere: donated args must not alias
-    rec0 = jnp.zeros_like(target)
-    carry = (params, opt_state, rec0, key, jnp.asarray(jnp.inf),
-             jnp.zeros_like(target), best_params)
+    # distinct buffers everywhere (donated args must not alias); numpy
+    # zeros transfer without compiling a device program
+    zeros = np.zeros(target.shape, target.dtype)
+    carry = (params, opt_state, jnp.asarray(zeros), key,
+             jnp.asarray(np.float32(np.inf)), jnp.asarray(zeros),
+             best_params)
     hists = []
     done = 0
     if checkpoint is not None and checkpoint.resume and \
@@ -349,9 +350,10 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
         return tx, run
 
     tx, run = build_frames(seg)
-    opt_state, key0, best_params0 = _fit_setup(model, cfg, tx)(
-        params, jnp.uint32(cfg.seed))
-    carry = ((params, opt_state, jnp.asarray(jnp.inf), best_params0), key0)
+    params, opt_state, key0, best_params0 = _run_setup(model, cfg, tx,
+                                                       params)
+    carry = ((params, opt_state, jnp.asarray(np.float32(np.inf)),
+              best_params0), key0)
     hists = []
     t0 = time.time()
     done = 0
@@ -381,14 +383,34 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
 _PROGRAMS: dict = {}
 
 
+def _host_setup_device():
+    """CPU device for running fit-setup programs off the accelerator.
+
+    When a cpu backend is co-registered next to the accelerator backend
+    (``jax.config.update("jax_platforms", "axon,cpu")`` — bench.py does
+    this), the setup program compiles and runs on the host and only its
+    RESULTS transfer, so a fit costs the tunneled backend exactly ONE
+    program (the scan).  Returns None when the default backend already is
+    cpu (tests) or no cpu backend is registered (plain JAX_PLATFORMS=axon).
+    """
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _fit_setup(model, cfg, tx):
-    """One jitted program building (opt_state, key, best_params copy).
+    """One jitted program building (opt_state, key_data, best_params copy).
 
     On remote/tunneled backends every DISTINCT eager op compiles its own
     tiny program at ~10s a pop (measured 2026-08-20: eager optimizer init +
     buffer copies cost ~390s of a fresh process's first fit); folding the
     whole setup into one cached program removes all but one of those round
-    trips."""
+    trips.  The RNG key is returned as raw uint32 key data so the result
+    can be transferred across backends (typed key arrays are wrapped after
+    placement, _run_setup)."""
     cache_key = (model, cfg, "setup")
     hit = _PROGRAMS.get(cache_key)
     if hit is not None:
@@ -396,13 +418,34 @@ def _fit_setup(model, cfg, tx):
 
     def setup_impl(params, seed):
         opt_state = tx.init(params)
-        key = jax.random.key(seed)
+        key_data = jax.random.key_data(jax.random.key(seed))
         best_params = jax.tree.map(lambda x: x + 0, params)
-        return opt_state, key, best_params
+        return opt_state, key_data, best_params
 
     prog = jax.jit(setup_impl)
     _PROGRAMS[cache_key] = prog
     return prog
+
+
+def _run_setup(model, cfg, tx, params):
+    """Run the fit-setup program — on the host cpu backend when one is
+    co-registered — and return (params, opt_state, key, best_params) placed
+    on the default device."""
+    setup = _fit_setup(model, cfg, tx)
+    host = _host_setup_device()
+    if host is None:
+        opt_state, key_data, best_params = setup(params,
+                                                 jnp.uint32(cfg.seed))
+        return params, opt_state, jax.random.wrap_key_data(key_data), \
+            best_params
+    with jax.default_device(host):
+        opt_state, key_data, best_params = setup(
+            jax.device_put(params, host), jnp.uint32(cfg.seed))
+    dev = jax.devices()[0]
+    params, opt_state, key_data, best_params = jax.device_put(
+        (params, opt_state, key_data, best_params), dev)
+    return params, opt_state, jax.random.wrap_key_data(key_data), \
+        best_params
 
 
 def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
@@ -611,10 +654,10 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     # (identical numerics — optimizer step counts carry across segments)
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     tx, run = build(seg)
-    opt_state, _, best_params0 = _fit_setup(model, cfg, tx)(
-        params, jnp.uint32(cfg.seed))
-    field0 = jnp.zeros(field_shape, measurement.dtype)
-    carry = (params, opt_state, jnp.asarray(jnp.inf), field0,
+    params, opt_state, _, best_params0 = _run_setup(model, cfg, tx, params)
+    field0 = jnp.asarray(np.zeros(field_shape,
+                                  np.dtype(measurement.dtype)))
+    carry = (params, opt_state, jnp.asarray(np.float32(np.inf)), field0,
              best_params0)
     loss_h, tracked_h = [], []
     done = 0
