@@ -122,3 +122,18 @@ def test_occupancy_app(tmp_path):
                         niters=150, size=32, maxpoints=32768)
     assert out["iou"] > 0.5, out["iou"]
     assert os.path.exists(out["mesh"])
+
+
+def test_ct_app_mesh(tiny_preset, tmp_path):
+    """apps/ct --mesh: the sharded operator fit must match the
+    single-device run's metrics (same deterministic trajectory)."""
+    from wire_tpu.apps import ct
+    from wire_tpu.dist import make_mesh
+    img = _small_image(tmp_path)
+    out1 = ct.run(tiny_preset, image=img,
+                  results_dir=str(tmp_path / "res1"), nmeas=30)
+    out8 = ct.run(tiny_preset, image=img,
+                  results_dir=str(tmp_path / "res8"), nmeas=30,
+                  mesh=make_mesh(8))
+    assert abs(out8["psnr"] - out1["psnr"]) < 0.05
+    assert abs(out8["ssim"] - out1["ssim"]) < 0.005

@@ -279,3 +279,48 @@ def test_operator_fit_chunked_render_matches_full():
                        donate=False, render_chunked=True)
     np.testing.assert_allclose(res.mse_noisy, ref.mse_noisy, rtol=1e-5)
     np.testing.assert_allclose(res.best_rec, ref.best_rec, atol=1e-5)
+
+
+def test_checkpoint_resume_frames_fit(tmp_path, monkeypatch):
+    import wire_tpu.train.trainer as T
+    from wire_tpu.train.trainer import CheckpointSpec, fit_frames
+
+    H = W = 16
+    scale = 2
+    nframes, bs = 6, 4
+    rng = np.random.RandomState(3)
+    base = C.grid2d(H, W)
+    fc = np.stack([base] * nframes).astype(np.float32)
+    fp = rng.rand(nframes, (H // scale) * (W // scale), 3).astype(np.float32)
+    fm = np.ones_like(fp)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=9, lr_decay=1.0,
+                    scan_segment=3)
+    ref = fit_frames(model, jax.tree.map(jnp.copy, params), fc, fp, fm, cfg,
+                     hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                     donate=False)
+    ckpt = CheckpointSpec(path=str(tmp_path / "fr.ckpt"))
+    orig_save = T._save_fit_state
+    calls = {"n": 0}
+
+    def killing_save(path, carry, hists, done):
+        orig_save(path, carry, hists, done)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(T, "_save_fit_state", killing_save)
+    with pytest.raises(KeyboardInterrupt):
+        fit_frames(model, jax.tree.map(jnp.copy, params), fc, fp, fm, cfg,
+                   hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                   donate=False, checkpoint=ckpt)
+    monkeypatch.setattr(T, "_save_fit_state", orig_save)
+    res = fit_frames(model, jax.tree.map(jnp.copy, params), fc, fp, fm, cfg,
+                     hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                     donate=False, checkpoint=ckpt)
+    np.testing.assert_array_equal(res.mse_noisy, ref.mse_noisy)
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

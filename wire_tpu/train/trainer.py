@@ -272,7 +272,8 @@ def _tv(image_nchw):
 
 def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
                cfg: FitConfig, *, hr_shape, scale, batch_size=4,
-               gt_image=None, donate=True):
+               gt_image=None, donate=True,
+               checkpoint: Optional[CheckpointSpec] = None):
     """Multi-frame SR fitting (wire_multi_sr.py:183-208): per step, render the
     INR at a batch of frames' warped HR coordinate grids, box-downsample, and
     take the masked MSE against the LR frames.  Frame order reshuffles per
@@ -355,8 +356,12 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
     carry = ((params, opt_state, jnp.asarray(np.float32(np.inf)),
               best_params0), key0)
     hists = []
-    t0 = time.time()
     done = 0
+    if checkpoint is not None and checkpoint.resume and \
+            os.path.exists(checkpoint.path):
+        carry, hists, done = _load_fit_state(checkpoint.path, carry, None)
+    t0 = time.time()
+    nseg = 0
     while done < cfg.niters:
         this = min(seg, cfg.niters - done)
         if this != seg:
@@ -364,6 +369,11 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
         carry, h = run(carry, frame_coords, frame_pixels, frame_masks)
         hists.append(h)
         done += this
+        nseg += 1
+        if checkpoint is not None and (nseg % max(checkpoint.every, 1) == 0
+                                       or done >= cfg.niters):
+            hists = [np.asarray(h) for h in hists]
+            _save_fit_state(checkpoint.path, carry, hists, done)
     (params_f, _, best_loss, best_params), _key = carry
     jax.block_until_ready(best_loss)
     wall = time.time() - t0
