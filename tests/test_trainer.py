@@ -186,8 +186,8 @@ def test_checkpoint_resume_reproduces_uninterrupted_fit(tmp_path,
     orig_save = T._save_fit_state
     calls = {"n": 0}
 
-    def killing_save(path, carry, hists, done):
-        orig_save(path, carry, hists, done)
+    def killing_save(path, carry, hists, done, *a):
+        orig_save(path, carry, hists, done, *a)
         calls["n"] += 1
         if calls["n"] == 2:
             raise KeyboardInterrupt
@@ -209,6 +209,37 @@ def test_checkpoint_resume_reproduces_uninterrupted_fit(tmp_path,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(res.best_rec, ref.best_rec)
     np.testing.assert_array_equal(res.final_rec, ref.final_rec)
+
+
+def test_checkpoint_refuses_foreign_fit_state(tmp_path):
+    """A checkpoint written by a fit with DIFFERENT input data (same path,
+    same shapes/config) must be refused on resume, not silently loaded —
+    e.g. a regenerated measurement with a stale CheckpointSpec.path would
+    otherwise return the previous fit's result."""
+    from wire_tpu.train.trainer import CheckpointSpec
+
+    im = I.synthetic_image(16, 16, 3, seed=0)
+    coords = C.grid2d(16, 16)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=4, scan_segment=2,
+                    maxpoints=256)
+    ckpt = CheckpointSpec(path=str(tmp_path / "fit.ckpt"))
+    fit_pointwise(model, params, coords, im.reshape(-1, 3), cfg,
+                  track="noisy", donate=False, checkpoint=ckpt)
+
+    other = I.synthetic_image(16, 16, 3, seed=1)  # same shape, other data
+    with pytest.raises(ValueError, match="DIFFERENT fit"):
+        fit_pointwise(model, params, coords, other.reshape(-1, 3), cfg,
+                      track="noisy", donate=False, checkpoint=ckpt)
+    # different config at the same path is refused too
+    cfg2 = FitConfig(learning_rate=1e-3, niters=4, scan_segment=2,
+                     maxpoints=256)
+    with pytest.raises(ValueError, match="DIFFERENT fit"):
+        fit_pointwise(model, params, coords, im.reshape(-1, 3), cfg2,
+                      track="noisy", donate=False, checkpoint=ckpt)
 
 
 def test_checkpoint_resume_operator_fit(tmp_path, monkeypatch):
@@ -235,8 +266,8 @@ def test_checkpoint_resume_operator_fit(tmp_path, monkeypatch):
     ckpt = CheckpointSpec(path=str(tmp_path / "op.ckpt"))
     orig_save = T._save_fit_state
 
-    def killing_save(path, carry, hists, done):
-        orig_save(path, carry, hists, done)
+    def killing_save(path, carry, hists, done, *a):
+        orig_save(path, carry, hists, done, *a)
         raise KeyboardInterrupt
 
     monkeypatch.setattr(T, "_save_fit_state", killing_save)
@@ -306,8 +337,8 @@ def test_checkpoint_resume_frames_fit(tmp_path, monkeypatch):
     orig_save = T._save_fit_state
     calls = {"n": 0}
 
-    def killing_save(path, carry, hists, done):
-        orig_save(path, carry, hists, done)
+    def killing_save(path, carry, hists, done, *a):
+        orig_save(path, carry, hists, done, *a)
         calls["n"] += 1
         if calls["n"] == 2:
             raise KeyboardInterrupt

@@ -18,6 +18,7 @@ dispatch.  Coordinates can be sharded over a device mesh (see wire_tpu.dist).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import os
 import time
 from functools import partial
@@ -71,9 +72,34 @@ def _is_key(leaf):
     return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
 
 
-def _save_fit_state(path, carry, hists, done):
+def _fit_fingerprint(cfg, model, *arrays):
+    """Digest of (config, architecture, input data) written into mid-fit
+    checkpoints: a resume against a checkpoint from a DIFFERENT fit (same
+    path, but other data/config — e.g. a regenerated measurement) is
+    silent corruption otherwise.  Host/numpy inputs are digested by
+    shape/dtype/sum (cheap, catches content changes); arrays already on a
+    device contribute shape/dtype only — digesting them would force a
+    device->host transfer, which tunneled backends make expensive."""
+    h = hashlib.md5()
+    h.update(repr(cfg).encode())
+    h.update(repr(getattr(model, "spec", model)).encode())
+    for a in arrays:
+        if a is None:
+            h.update(b"none")
+            continue
+        arr = np.asarray(a) if isinstance(a, np.ndarray) else a
+        h.update(str(getattr(arr, "shape", ())).encode())
+        h.update(str(getattr(arr, "dtype", type(arr))).encode())
+        if isinstance(arr, np.ndarray) and arr.size:
+            h.update(np.float64(arr.sum(dtype=np.float64)).tobytes())
+    return h.hexdigest()
+
+
+def _save_fit_state(path, carry, hists, done, fingerprint=None):
     leaves, _ = jax.tree_util.tree_flatten(carry)
     payload = {}
+    if fingerprint is not None:
+        payload["fingerprint"] = np.str_(fingerprint)
     for i, leaf in enumerate(leaves):
         if _is_key(leaf):
             leaf = jax.random.key_data(leaf)
@@ -88,8 +114,16 @@ def _save_fit_state(path, carry, hists, done):
     os.replace(tmp, path)  # atomic: a kill mid-save leaves the old file
 
 
-def _load_fit_state(path, carry_template, hist_arity):
+def _load_fit_state(path, carry_template, hist_arity, fingerprint=None):
     with np.load(path) as z:
+        if fingerprint is not None and "fingerprint" in z:
+            saved = str(z["fingerprint"])
+            if saved != fingerprint:
+                raise ValueError(
+                    f"checkpoint {path!r} was written by a DIFFERENT fit "
+                    "(config, model, or input data differ) — resuming it "
+                    "would silently corrupt this run.  Delete the file or "
+                    "point CheckpointSpec.path elsewhere.")
         leaves, treedef = jax.tree_util.tree_flatten(carry_template)
         out = []
         for i, leaf in enumerate(leaves):
@@ -204,6 +238,8 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
 
     Runs the whole fit in one jitted scan-over-epochs program.
     """
+    ckpt_fp = (_fit_fingerprint(cfg, model, coords, target, gt)
+               if checkpoint is not None else None)
     coords = jnp.asarray(coords)
     target = jnp.asarray(target)
     gt_arr = target if gt is None else jnp.asarray(gt)
@@ -228,7 +264,8 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     done = 0
     if checkpoint is not None and checkpoint.resume and \
             os.path.exists(checkpoint.path):
-        carry, hists, done = _load_fit_state(checkpoint.path, carry, 3)
+        carry, hists, done = _load_fit_state(checkpoint.path, carry, 3,
+                                             ckpt_fp)
     t0 = time.time()
     nseg = 0
     while done < cfg.niters:
@@ -246,7 +283,7 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
             # histories are concatenated host-side anyway; normalize the
             # saved copies so a resumed run appends cleanly
             hists = [tuple(np.asarray(a) for a in h) for h in hists]
-            _save_fit_state(checkpoint.path, carry, hists, done)
+            _save_fit_state(checkpoint.path, carry, hists, done, ckpt_fp)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     # host-side concatenation: an eager jnp.concatenate would compile one
@@ -285,6 +322,9 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
     """
     from wire_tpu.ops.resample import avg_pool2d
 
+    ckpt_fp = (_fit_fingerprint(cfg, model, frame_coords, frame_pixels,
+                                frame_masks, gt_image)
+               if checkpoint is not None else None)
     frame_coords = jnp.asarray(frame_coords)
     frame_pixels = jnp.asarray(frame_pixels)
     frame_masks = jnp.asarray(frame_masks)
@@ -359,7 +399,8 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
     done = 0
     if checkpoint is not None and checkpoint.resume and \
             os.path.exists(checkpoint.path):
-        carry, hists, done = _load_fit_state(checkpoint.path, carry, None)
+        carry, hists, done = _load_fit_state(checkpoint.path, carry,
+                                             None, ckpt_fp)
     t0 = time.time()
     nseg = 0
     while done < cfg.niters:
@@ -373,7 +414,7 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
         if checkpoint is not None and (nseg % max(checkpoint.every, 1) == 0
                                        or done >= cfg.niters):
             hists = [np.asarray(h) for h in hists]
-            _save_fit_state(checkpoint.path, carry, hists, done)
+            _save_fit_state(checkpoint.path, carry, hists, done, ckpt_fp)
     (params_f, _, best_loss, best_params), _key = carry
     jax.block_until_ready(best_loss)
     wall = time.time() - t0
@@ -601,6 +642,8 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     weak #6).  Numerics are identical (same forward values; backward
     recomputes per chunk).
     """
+    ckpt_fp = (_fit_fingerprint(cfg, model, coords, measurement, gt_field)
+               if checkpoint is not None else None)
     coords = jnp.asarray(coords)
     measurement = jnp.asarray(measurement)
     has_gt = gt_field is not None
@@ -673,7 +716,8 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     done = 0
     if checkpoint is not None and checkpoint.resume and \
             os.path.exists(checkpoint.path):
-        carry, hists, done = _load_fit_state(checkpoint.path, carry, 2)
+        carry, hists, done = _load_fit_state(checkpoint.path, carry, 2,
+                                             ckpt_fp)
         loss_h = [h[0] for h in hists]
         tracked_h = [h[1] for h in hists]
     t0 = time.time()
@@ -692,7 +736,7 @@ def fit_operator(model, params, coords, measurement, operator_fn,
             loss_h = [np.asarray(h) for h in loss_h]
             tracked_h = [np.asarray(h) for h in tracked_h]
             _save_fit_state(checkpoint.path, carry,
-                            list(zip(loss_h, tracked_h)), done)
+                            list(zip(loss_h, tracked_h)), done, ckpt_fp)
     jax.block_until_ready(carry)
     wall = time.time() - t0
     loss_hist = np.concatenate([np.asarray(h) for h in loss_h])
