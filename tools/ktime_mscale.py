@@ -21,16 +21,26 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
+def timed_scan(model, params, coords, tgt, K=50, reps=4):
+    """Per-step ms of a K-step data-dependent scan over step_grads —
+    single-call timing through the tunnel is load/latency-dominated and
+    unreliable (CLAUDE.md); scans amortize it (exp_tilesweep_pipe.py)."""
+
+    def body(p, _):
+        pred, g = model.step_grads(p, coords, tgt)[:2]
+        p2 = jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+        return p2, jnp.sum(pred[:1])
+
+    run = jax.jit(lambda p: jax.lax.scan(body, p, None, length=K))
+    out = run(params)
     np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = run(params)
         np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    return best / K * 1e3
 
 
 def main():
@@ -52,14 +62,24 @@ def main():
         params = model.init(jax.random.key(0))
         fallback = INR(model.spec, model._init, model._apply, None)
 
-        fused = jax.jit(lambda p, c, t, m=model: m.step_grads(p, c, t))
-        auto = jax.jit(lambda p, c, t, m=fallback: m.step_grads(p, c, t))
-        ms_f = timed(fused, params, coords, tgt, reps=reps)
-        ms_a = timed(auto, params, coords, tgt, reps=reps)
+        # three paths: registry step (fused kernels), autodiff over the
+        # (still kernel-dispatching) apply, and the pure-XLA jnp path
+        # (fused='never') — the round-1 baseline for these families
+        jnp_model = get_inr(nonlin, in_features=2, out_features=3,
+                            hidden_features=300, hidden_layers=2,
+                            scale_tensor=(1.0 / 9.0, 4.0), fused="never")
+        jnp_model = INR(jnp_model.spec, jnp_model._init, jnp_model._apply,
+                        None)
+        jparams = jnp_model.init(jax.random.key(0))
+        ms_f = timed_scan(model, params, coords, tgt, reps=reps)
+        ms_a = timed_scan(fallback, params, coords, tgt, reps=reps)
+        ms_j = timed_scan(jnp_model, jparams, coords, tgt, reps=reps)
         print(json.dumps({"family": nonlin, "n": N,
                           "fused_step_ms": round(ms_f, 3),
-                          "autodiff_step_ms": round(ms_a, 3),
-                          "speedup": round(ms_a / ms_f, 2)}), flush=True)
+                          "autodiff_fused_apply_ms": round(ms_a, 3),
+                          "xla_jnp_step_ms": round(ms_j, 3),
+                          "speedup_vs_jnp": round(ms_j / ms_f, 2)}),
+              flush=True)
 
 
 if __name__ == "__main__":
