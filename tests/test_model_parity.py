@@ -90,6 +90,16 @@ def test_forward_parity(nonlin, kw, opt):
     rtol, atol = (2e-3, 1e-3) if nonlin == "wire2d" else (2e-4, 2e-5)
     np.testing.assert_allclose(y, y_ref.reshape(y.shape), rtol=rtol,
                                atol=atol)
+    if nonlin == "wire2d":
+        # the loose elementwise bound above absorbs a few jittery
+        # near-zero elements; keep sensitivity to SYSTEMATIC deviation by
+        # bounding the bulk of the error distribution tightly (ADVICE
+        # round 1): 99% of elements must still sit at the tight bound.
+        err = np.abs(y - y_ref.reshape(y.shape))
+        tight = 2e-4 * np.abs(y_ref.reshape(y.shape)) + 2e-5
+        assert np.mean(err <= tight) >= 0.99, (
+            f"wire2d: {100 * np.mean(err > tight):.2f}% of elements exceed "
+            "the tight bound — systematic deviation, not jitter")
 
 
 @pytest.mark.parametrize("nonlin,kw,opt", CASES, ids=[c[0] for c in CASES])
