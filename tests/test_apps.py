@@ -124,6 +124,20 @@ def test_occupancy_app(tmp_path):
     assert os.path.exists(out["mesh"])
 
 
+def test_sisr_app_mesh(tiny_preset, tmp_path):
+    """apps/sisr --mesh: sharded operator fit (3-channel field) matches
+    the single-device run's metrics."""
+    from wire_tpu.apps import sisr
+    from wire_tpu.dist import make_mesh
+    img = _small_image(tmp_path)
+    out1 = sisr.run(tiny_preset, image=img,
+                    results_dir=str(tmp_path / "res1"))
+    out8 = sisr.run(tiny_preset, image=img,
+                    results_dir=str(tmp_path / "res8"), mesh=make_mesh(8))
+    assert abs(out8["mse_db"] - out1["mse_db"]) < 0.05
+    assert abs(out8["ssim"] - out1["ssim"]) < 0.005
+
+
 def test_ct_app_mesh(tiny_preset, tmp_path):
     """apps/ct --mesh: the sharded operator fit must match the
     single-device run's metrics (same deterministic trajectory)."""

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wire_tpu.operators.forward import sisr_op
+from wire_tpu.operators.forward import DownsampleOp, sisr_op
 from wire_tpu.signals import coords as C, image as I, noise as N
 from wire_tpu.train import artifacts as A, metrics as M
 from wire_tpu.train.presets import get_config
@@ -23,7 +23,7 @@ from wire_tpu.apps import common
 
 
 def run(config_name, *, image=None, results_dir="results", seed=0,
-        reference_compat=False):
+        reference_compat=False, mesh=None):
     cfg = get_config(config_name)
     A.log(f"Starting SISR experiment ({config_name})")
     scale = cfg.down_scale or 4
@@ -49,9 +49,15 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
 
     fit_cfg = FitConfig(learning_rate=cfg.learning_rate, niters=cfg.niters,
                         maxpoints=cfg.maxpoints, lr_decay=0.2, seed=seed)
-    res = fit_operator(model, params, coords, im_lr,
-                       lambda f: sisr_op(f, scale), fit_cfg,
-                       gt_field=im, field_shape=(H, W, 3), track="gt")
+    op = DownsampleOp(scale)
+    if mesh is not None:
+        from wire_tpu.dist import fit_operator_sharded
+        res = fit_operator_sharded(model, params, coords, im_lr, op,
+                                   fit_cfg, mesh, gt_field=im,
+                                   field_shape=(H, W, 3), track="gt")
+    else:
+        res = fit_operator(model, params, coords, im_lr, op, fit_cfg,
+                           gt_field=im, field_shape=(H, W, 3), track="gt")
 
     best = res.best_rec
     best_mse = float(res.best_mse)
@@ -92,7 +98,8 @@ def main(argv=None):
     p = common.base_parser(__doc__)
     a = p.parse_args(argv)
     run(a.config_name, image=a.image, results_dir=a.results_dir,
-        seed=a.seed, reference_compat=a.reference_compat)
+        seed=a.seed, reference_compat=a.reference_compat,
+        mesh=common.mesh_from_arg(a.mesh))
 
 
 if __name__ == "__main__":

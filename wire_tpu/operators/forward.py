@@ -33,6 +33,25 @@ def sisr_op(field_hwc, scale):
     return jnp.transpose(lr[0], (1, 2, 0))
 
 
+class DownsampleOp:
+    """Hashable box-downsample closure (the SISR forward operator,
+    wire_SISR.py:184-185) — like RadonOp, a bare lambda would key the
+    trainer/dist program caches by object identity and recompile every
+    fit (expensive on tunneled backends)."""
+
+    def __init__(self, scale):
+        self.scale = int(scale)
+
+    def __call__(self, field_hwc):
+        return sisr_op(field_hwc, self.scale)
+
+    def __hash__(self):
+        return hash(("DownsampleOp", self.scale))
+
+    def __eq__(self, other):
+        return isinstance(other, DownsampleOp) and other.scale == self.scale
+
+
 def multi_sr_op(frames_bhwc, scale):
     """(B, H, W, C) fields rendered at warped coords -> (B, H/s, W/s, C)."""
     nchw = jnp.transpose(frames_bhwc, (0, 3, 1, 2))
