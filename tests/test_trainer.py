@@ -104,6 +104,44 @@ def test_pointwise_fit_converges():
     assert res.mse_noisy[-1] < res.mse_noisy[0] / 10
 
 
+def test_gridspec_fit_matches_materialized_coords():
+    """fit_pointwise with an implicit GridSpec (device-computed chunk
+    coordinates, no coords table/gather) must reproduce the materialized-
+    array fit: same permutation stream, coordinates equal to f32 rounding
+    (<=1 ulp), so trajectories agree to float tolerance.  Covers both the
+    chunked (3D, remainder chunk) and full-batch (2D) program paths."""
+    # 3D chunked with remainder (11*9*7 = 693, maxpoints 128 -> 6 chunks)
+    H, W, T = 11, 9, 7
+    vol = I.synthetic_volume(16, seed=0)[:H, :W, :T]
+    target = vol.reshape(-1, 1)
+    model = get_inr("gauss", in_features=3, hidden_features=32,
+                    hidden_layers=2, out_features=1, first_omega0=10.0,
+                    hidden_omega0=10.0, scale=8.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=2e-3, niters=40, maxpoints=128)
+    res_a = fit_pointwise(model, params, C.get_coords(H, W, T), target,
+                          cfg, track="noisy", donate=False)
+    res_g = fit_pointwise(model, params, C.GridSpec(H, W, T), target,
+                          cfg, track="noisy", donate=False)
+    np.testing.assert_allclose(res_g.mse_noisy, res_a.mse_noisy,
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(res_g.final_rec, res_a.final_rec,
+                               rtol=2e-3, atol=2e-4)
+    # 2D full-batch path (nchunks == 1)
+    im = I.synthetic_image(16, 16, 3, seed=0)
+    model2 = get_inr("wire", in_features=2, hidden_features=32,
+                     hidden_layers=2, out_features=3, first_omega0=7.0,
+                     hidden_omega0=7.0, scale=6.0)
+    p2 = model2.init(jax.random.key(0))
+    cfg2 = FitConfig(learning_rate=5e-3, niters=20, maxpoints=256)
+    r_a = fit_pointwise(model2, p2, C.grid2d(16, 16), im.reshape(-1, 3),
+                        cfg2, track="noisy", donate=False)
+    r_g = fit_pointwise(model2, p2, C.GridSpec(16, 16), im.reshape(-1, 3),
+                        cfg2, track="noisy", donate=False)
+    np.testing.assert_allclose(r_g.mse_noisy, r_a.mse_noisy,
+                               rtol=2e-4, atol=1e-7)
+
+
 def test_pointwise_fit_with_remainder_chunk():
     """npoints not divisible by maxpoints exercises the OOB-sentinel
     masking path."""

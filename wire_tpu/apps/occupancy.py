@@ -85,7 +85,10 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
             mesh, lambda lo, hi: C.grid_rows(H, W, T, lo, hi), npoints)
         target = MH.feed_rows(mesh, lambda lo, hi: flat[lo:hi], npoints)
     else:
-        coords = C.get_coords(H, W, T)
+        # implicit grid: chunk coords are computed on device from permuted
+        # indices — no (H*W*T, 3) table in HBM (1.6 GB at 512^3) and no
+        # per-chunk random gather of it (signals.coords.GridSpec)
+        coords = C.GridSpec(H, W, T)
         target = im.reshape(-1, 1)
     model = get_inr(model_nonlin, in_features=3, out_features=1,
                     hidden_features=hidden_features,

@@ -10,6 +10,8 @@ Matches the reference's layouts exactly:
 """
 from __future__ import annotations
 
+import dataclasses as _dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,6 +58,67 @@ def grid_rows(H, W, T, lo, hi, dtype=np.float32):
     j = (n // T) % H
     k = n % T
     return np.stack([x[j], y[i], z[k]], axis=-1)
+
+
+@_dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Implicit coordinate grid: the (npoints, d) array of ``get_coords``
+    described by its shape only, with rows computed ON DEVICE from flat
+    indices (integer div/mod + multiply — pure VPU arithmetic).
+
+    Why: the chunked fitting protocol gathers ``coords[perm_chunk]`` every
+    chunk; at the occupancy scale (512^3 = 134M rows, wire_occupancy.py:72)
+    that is a 1.6 GB HBM-resident table and ~200 MB/epoch of random-access
+    gather traffic — and TPU random gathers are slow.  A grid row is a
+    closed-form function of its index, so passing ``GridSpec`` to
+    ``fit_pointwise`` instead of the materialized array deletes both.
+
+    Row values match ``get_coords`` to f32 rounding (host linspace
+    multiplies in f64 then casts; on-device arithmetic is f32 — <=1 ulp
+    apart; endpoints exact by construction).
+    """
+    H: int
+    W: int
+    T: int | None = None
+
+    @property
+    def npoints(self):
+        return self.H * self.W * (self.T or 1)
+
+    @property
+    def in_features(self):
+        return 2 if self.T is None else 3
+
+    @property
+    def shape(self):
+        return (self.npoints, self.in_features)
+
+    def rows(self, idx):
+        """(n,) int array (traced ok) -> (n, d) coordinate rows."""
+        idx = jnp.asarray(idx)
+
+        def axis(j, num):
+            # linspace(-1, 1, num)[j] with exact endpoints
+            step = jnp.float32(2.0 / max(num - 1, 1))
+            v = jnp.float32(-1.0) + j.astype(jnp.float32) * step
+            return jnp.where(j == num - 1, jnp.float32(1.0), v)
+
+        if self.T is None:
+            # grid2d: n = r*W + c -> (x[c], y[r])
+            r = idx // self.W
+            c = idx % self.W
+            return jnp.stack([axis(c, self.W), axis(r, self.H)], axis=-1)
+        # grid3d ('xy' meshgrid, see grid_rows): n = i*(H*T) + j*T + k
+        # -> (x_H[j], y_W[i], z_T[k])
+        H, W, T = self.H, self.W, self.T
+        i = idx // (H * T)
+        j = (idx // T) % H
+        k = idx % T
+        return jnp.stack([axis(j, H), axis(i, W), axis(k, T)], axis=-1)
+
+    def materialize(self):
+        """The full host-side array (= get_coords(H, W, T))."""
+        return get_coords(self.H, self.W, self.T)
 
 
 def jgrid2d(H, W, dtype=jnp.float32):

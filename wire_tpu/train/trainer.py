@@ -87,6 +87,9 @@ def _fit_fingerprint(cfg, model, *arrays):
         if a is None:
             h.update(b"none")
             continue
+        if dataclasses.is_dataclass(a) and not isinstance(a, type):
+            h.update(repr(a).encode())    # e.g. signals.coords.GridSpec
+            continue
         arr = np.asarray(a) if isinstance(a, np.ndarray) else a
         h.update(str(getattr(arr, "shape", ())).encode())
         h.update(str(getattr(arr, "dtype", type(arr))).encode())
@@ -238,12 +241,21 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
 
     Runs the whole fit in one jitted scan-over-epochs program.
     """
+    from wire_tpu.signals.coords import GridSpec
     ckpt_fp = (_fit_fingerprint(cfg, model, coords, target, gt)
                if checkpoint is not None else None)
-    coords = jnp.asarray(coords)
+    grid = coords if isinstance(coords, GridSpec) else None
+    if grid is not None:
+        # implicit grid: chunk coordinates are computed on device from the
+        # permuted indices (GridSpec.rows) — no (N, d) coordinate table in
+        # HBM and no per-chunk random gather of it
+        npoints = grid.npoints
+        coords = jnp.zeros((1, grid.in_features), jnp.float32)  # unused
+    else:
+        coords = jnp.asarray(coords)
+        npoints = coords.shape[0]
     target = jnp.asarray(target)
     gt_arr = target if gt is None else jnp.asarray(gt)
-    npoints = coords.shape[0]
     mp = min(cfg.maxpoints, npoints)
     nchunks = (npoints + mp - 1) // mp
     npad = nchunks * mp - npoints
@@ -251,7 +263,7 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     tx, run = _pointwise_program(
         model, cfg, seg, npoints, nchunks, mp, npad, track, tv_weight,
-        image_shape, epoch_metric, donate)
+        image_shape, epoch_metric, donate, grid)
     params, opt_state, key, best_params = _run_setup(model, cfg, tx, params)
 
     # distinct buffers everywhere (donated args must not alias); numpy
@@ -273,7 +285,7 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
         if this != seg:
             _, run = _pointwise_program(
                 model, cfg, this, npoints, nchunks, mp, npad, track,
-                tv_weight, image_shape, epoch_metric, donate)
+                tv_weight, image_shape, epoch_metric, donate, grid)
         carry, hist = run(carry, coords, target, gt_arr)
         hists.append(hist)
         done += this
@@ -501,9 +513,9 @@ def _run_setup(model, cfg, tx, params):
 
 def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
                        npad, track, tv_weight, image_shape, epoch_metric,
-                       donate):
+                       donate, grid=None):
     cache_key = (model, cfg, seg_len, npoints, nchunks, mp, npad, track,
-                 tv_weight, image_shape, epoch_metric, donate)
+                 tv_weight, image_shape, epoch_metric, donate, grid)
     hit = _PROGRAMS.get(cache_key)
     if hit is not None:
         return hit
@@ -511,18 +523,25 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
     tx = make_optimizer(cfg, None, npoints=npoints, nchunks=nchunks)
 
     def run_impl(carry, coords, target, gt_arr):
+        if grid is not None:
+            crows = grid.rows           # device-computed rows
+            cfull = lambda: grid.rows(jnp.arange(npoints))
+        else:
+            crows = lambda s: coords[s]
+            cfull = lambda: coords
+
         def chunk_loss(p, idx):
             # OOB sentinel indices (== npoints) mask out padded entries
             valid = (idx < npoints)
             safe = jnp.minimum(idx, npoints - 1)
-            pred = model.apply(p, coords[safe])
+            pred = model.apply(p, crows(safe))
             w = valid.astype(pred.dtype)[:, None]
             mse = (jnp.sum(w * (pred - target[safe]) ** 2)
                    / (jnp.sum(w) * pred.shape[-1]))
             loss = mse
             if tv_weight > 0.0 and image_shape is not None:
                 H, W, Cc = image_shape
-                full = model.apply(p, coords).reshape(1, H, W, Cc)
+                full = model.apply(p, cfull()).reshape(1, H, W, Cc)
                 loss = loss + tv_weight * _tv(
                     jnp.transpose(full, (0, 3, 1, 2)))
             return loss, pred
@@ -530,7 +549,7 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
         def full_batch_loss(p):
             # nchunks == 1 and no padding: the minibatch is the whole grid,
             # so the permutation/gather/scatter machinery is pure overhead
-            pred = model.apply(p, coords)
+            pred = model.apply(p, cfull())
             loss = jnp.mean((pred - target) ** 2)
             if tv_weight > 0.0 and image_shape is not None:
                 H, W, Cc = image_shape
@@ -554,7 +573,7 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
             if full_batch:
                 if use_step:
                     pred, grads, sums = model.step_grads(
-                        params, coords, target, gt=gt_arr,
+                        params, cfull(), target, gt=gt_arr,
                         want_metrics=True)
                 else:
                     (loss, pred), grads = jax.value_and_grad(
@@ -580,7 +599,7 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
                         denom = (nvalid.astype(jnp.float32)
                                  * target.shape[-1])
                         pred, grads, csums = model.step_grads(
-                            params, coords[safe], target[safe],
+                            params, crows(safe), target[safe],
                             nvalid=nvalid, denom=denom, gt=gt_arr[safe],
                             want_metrics=True)
                     else:
