@@ -42,6 +42,39 @@ def test_sharded_full_batch_equals_single_device():
     np.testing.assert_allclose(res8.final_rec, res1.final_rec, atol=2e-4)
 
 
+def test_sharded_gridspec_matches_materialized():
+    """Sharded fit with an implicit GridSpec (per-device coordinates
+    computed from dev*local_n + local index, no coordinate shard in HBM)
+    must reproduce the materialized-array sharded fit: identical
+    permutation streams, coordinates equal to f32 rounding."""
+    model, params, coords, target = _setup()
+    mesh = make_mesh(8)
+    cfg = FitConfig(learning_rate=5e-3, niters=12, maxpoints=256)
+    res_a = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                  coords, target, cfg, mesh, track="noisy",
+                                  donate=False)
+    res_g = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                  C.GridSpec(32, 32), target, cfg, mesh,
+                                  track="noisy", donate=False)
+    np.testing.assert_allclose(res_g.mse_noisy, res_a.mse_noisy,
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(res_g.final_rec, res_a.final_rec,
+                               rtol=2e-3, atol=2e-4)
+    # exact-composition mode with a grid
+    cfg_gp = FitConfig(learning_rate=5e-3, niters=8,
+                       maxpoints=coords.shape[0] // 2)
+    res_ga = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                   coords, target, cfg_gp, mesh,
+                                   track="noisy", donate=False,
+                                   global_perm=True)
+    res_gg = fit_pointwise_sharded(model, jax.tree.map(jnp.copy, params),
+                                   C.GridSpec(32, 32), target, cfg_gp, mesh,
+                                   track="noisy", donate=False,
+                                   global_perm=True)
+    np.testing.assert_allclose(res_gg.mse_noisy, res_ga.mse_noisy,
+                               rtol=2e-4, atol=1e-7)
+
+
 def test_sharded_minibatch_converges():
     model, params, coords, target = _setup(H=64, W=64, hidden=48)
     cfg = FitConfig(learning_rate=5e-3, niters=100, maxpoints=512)

@@ -51,7 +51,7 @@ def _iou_sums(thres):
 def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         niters=200, size=64, scale=1.0, maxpoints=int(2e5),
         hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None,
-        scan_segment=None, checkpoint_path=None):
+        scan_segment=None, checkpoint_path=None, checkpoint_every=1):
     A.log(f"Running {nonlin} occupancy")
     if volume_mat:
         im = V.load_volume_mat(volume_mat, scale=scale)
@@ -108,8 +108,15 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
     ckpt = None
     if checkpoint_path:
         from wire_tpu.train.trainer import CheckpointSpec
-        ckpt = CheckpointSpec(path=checkpoint_path)
+        # at 512^3 each save round-trips the ~0.5 GB rec buffers through
+        # the tunnel: space saves out for big volumes via checkpoint_every
+        ckpt = CheckpointSpec(path=checkpoint_path, every=checkpoint_every)
+    # ONE device transfer of the volume: the epoch-IoU closure and the
+    # fitter share it (jnp.asarray inside the fitter is then a no-op) —
+    # big single transfers are the tunnel's cost (and >~1 GB bodies are
+    # rejected outright, HTTP 413)
     timu = jax.numpy.asarray(target)
+    target = timu
 
     def epoch_iou(rec):
         return M.iou(rec, timu, mcubes_thres)

@@ -53,13 +53,15 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     (one buffer-sized collective per chunk: use for image-scale signals, not
     volumes).
     """
+    from wire_tpu.signals.coords import GridSpec
+    grid = coords if isinstance(coords, GridSpec) else None
     if global_perm:
         return _fit_global_perm(model, params, coords, target, cfg, mesh,
                                 gt=gt, track=track, donate=donate,
-                                epoch_sums=epoch_sums)
+                                epoch_sums=epoch_sums, grid=grid)
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    npoints = coords.shape[0]
+    npoints = grid.npoints if grid is not None else coords.shape[0]
     if npoints % ndev:
         raise ValueError(f"npoints={npoints} not divisible by mesh size "
                          f"{ndev}; pad the coordinate set")
@@ -70,13 +72,20 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    coords = jax.device_put(jnp.asarray(coords), shard)
+    if grid is not None:
+        # implicit grid: each device computes its chunk coordinates from
+        # global row index dev*local_n + local index — NO coordinate shard
+        # in HBM anywhere (the multi-host story with zero coordinate
+        # feeding; see signals.coords.GridSpec)
+        coords = jax.device_put(jnp.zeros((ndev, 1), jnp.float32), shard)
+    else:
+        coords = jax.device_put(jnp.asarray(coords), shard)
     target = jax.device_put(jnp.asarray(target), shard)
     gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), shard)
     params = jax.device_put(params, repl)
 
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
-    cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
+    cache_key = (model, cfg, seg, mesh, npoints, grid,
                  target.shape[-1], track, donate, epoch_sums)
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
 
@@ -101,8 +110,10 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
             nvalid = jnp.sum(idx < local_n)
             safe = jnp.minimum(idx, local_n - 1)
             denom = nvalid.astype(jnp.float32) * lt.shape[-1]
+            c_chunk = (lc[safe] if grid is None
+                       else grid.rows(dev * local_n + safe))
             pred, grads, csums = model.step_grads(
-                params, lc[safe], lt[safe], nvalid=nvalid, denom=denom,
+                params, c_chunk, lt[safe], nvalid=nvalid, denom=denom,
                 gt=lgt[safe], want_metrics=True)
             grads = jax.lax.pmean(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -144,7 +155,8 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
 
 
 def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
-                     mesh: Mesh, *, gt, track, donate, epoch_sums=None):
+                     mesh: Mesh, *, gt, track, donate, epoch_sums=None,
+                     grid=None):
     """Exact-composition sharded fit: replicated data, one shared epoch
     permutation (the single-device trainer's key stream), each device takes
     its slice of every global chunk.  Gradient = psum of partial sums over
@@ -152,7 +164,7 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
     Trajectory matches train.trainer.fit_pointwise to reduction order."""
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    npoints = coords.shape[0]
+    npoints = grid.npoints if grid is not None else coords.shape[0]
     mp = min(cfg.maxpoints, npoints)
     nchunks = (npoints + mp - 1) // mp
     npad = nchunks * mp - npoints
@@ -162,13 +174,16 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
     mp_local = mp // ndev
 
     repl = NamedSharding(mesh, P())
-    coords = jax.device_put(jnp.asarray(coords), repl)
+    if grid is not None:
+        coords = jax.device_put(jnp.zeros((1, 1), jnp.float32), repl)
+    else:
+        coords = jax.device_put(jnp.asarray(coords), repl)
     target = jax.device_put(jnp.asarray(target), repl)
     gt_arr = target if gt is None else jax.device_put(jnp.asarray(gt), repl)
     params = jax.device_put(params, repl)
 
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
-    cache_key = (model, cfg, seg, mesh, npoints, coords.shape[-1],
+    cache_key = (model, cfg, seg, mesh, npoints, grid,
                  target.shape[-1], track, donate, epoch_sums, "global_perm")
     tx = make_optimizer(cfg, params, npoints=npoints, nchunks=nchunks)
 
@@ -194,8 +209,9 @@ def _fit_global_perm(model, params, coords, target, cfg: FitConfig,
             nvalid = jnp.sum(idx < npoints)
             safe = jnp.minimum(idx, npoints - 1)
             cnt = jax.lax.psum(nvalid.astype(jnp.float32), axis)
+            c_chunk = lc[safe] if grid is None else grid.rows(safe)
             pred, grads, csums = model.step_grads(
-                params, lc[safe], lt[safe], nvalid=nvalid,
+                params, c_chunk, lt[safe], nvalid=nvalid,
                 denom=cnt * lt.shape[-1], gt=lgt[safe], want_metrics=True)
             grads = jax.lax.psum(grads, axis)
             updates, opt_state = tx.update(grads, opt_state, params)

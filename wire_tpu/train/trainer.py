@@ -266,11 +266,17 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
         image_shape, epoch_metric, donate, grid)
     params, opt_state, key, best_params = _run_setup(model, cfg, tx, params)
 
-    # distinct buffers everywhere (donated args must not alias); numpy
-    # zeros transfer without compiling a device program
-    zeros = np.zeros(target.shape, target.dtype)
-    carry = (params, opt_state, jnp.asarray(zeros), key,
-             jnp.asarray(np.float32(np.inf)), jnp.asarray(zeros),
+    # distinct buffers everywhere (donated args must not alias).  Small
+    # buffers: numpy zeros transfer without compiling a device program
+    # (cheapest on tunneled backends); big buffers (512^3 rec = 0.5 GB):
+    # one tiny cached jnp.zeros program beats two half-gigabyte uploads.
+    if target.size * target.dtype.itemsize > (1 << 27):
+        z1, z2 = (jnp.zeros(target.shape, target.dtype) for _ in range(2))
+    else:
+        zeros = np.zeros(target.shape, np.dtype(target.dtype))
+        z1, z2 = jnp.asarray(zeros), jnp.asarray(zeros)
+    carry = (params, opt_state, z1, key,
+             jnp.asarray(np.float32(np.inf)), z2,
              best_params)
     hists = []
     done = 0
