@@ -31,7 +31,8 @@ def main():
     out = occupancy.run("wire", size=size, niters=niters,
                         results_dir=rdir, maxpoints=int(2e5),
                         scan_segment=seg,
-                        checkpoint_path=f"/tmp/occ{size}.ckpt")
+                        checkpoint_path=f"/tmp/occ{size}.ckpt",
+                        checkpoint_every=10 if size >= 512 else 1)
     wall = time.time() - t0
     res = out["result"]
     summary = {

@@ -48,6 +48,18 @@ def _iou_sums(thres):
     return sums
 
 
+@functools.lru_cache(maxsize=None)
+def _iou_metric(thres):
+    """Two-arg per-epoch IoU for fit_pointwise's epoch_metric: (rec,
+    target) both arrive as program arguments.  lru_cached for a stable
+    closure identity (keys the trainer program cache)."""
+
+    def metric(rec, tgt):
+        return M.iou(rec, tgt, thres)
+
+    return metric
+
+
 def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         niters=200, size=64, scale=1.0, maxpoints=int(2e5),
         hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None,
@@ -111,15 +123,11 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         # at 512^3 each save round-trips the ~0.5 GB rec buffers through
         # the tunnel: space saves out for big volumes via checkpoint_every
         ckpt = CheckpointSpec(path=checkpoint_path, every=checkpoint_every)
-    # ONE device transfer of the volume: the epoch-IoU closure and the
-    # fitter share it (jnp.asarray inside the fitter is then a no-op) —
-    # big single transfers are the tunnel's cost (and >~1 GB bodies are
-    # rejected outright, HTTP 413)
-    timu = jax.numpy.asarray(target)
-    target = timu
-
-    def epoch_iou(rec):
-        return M.iou(rec, timu, mcubes_thres)
+    # ONE device transfer of the volume, shared by the fitter and the
+    # epoch metric (which receives it as a program ARGUMENT — a closure
+    # over a 0.5 GB device array would embed it as a compile-time
+    # constant and blow the tunnel's compile-request cap, HTTP 413)
+    target = jax.numpy.asarray(target)
 
     if mesh is not None:
         from wire_tpu.dist import fit_pointwise_sharded
@@ -134,7 +142,8 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
             np.asarray(union, np.float64), 1.0)
     else:
         res = fit_pointwise(model, params, coords, target, fit_cfg,
-                            track="noisy", epoch_metric=epoch_iou,
+                            track="noisy",
+                            epoch_metric=_iou_metric(mcubes_thres),
                             checkpoint=ckpt)
         iou_hist = res.time_array
 

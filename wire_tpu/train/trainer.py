@@ -527,6 +527,11 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
         return hit
 
     tx = make_optimizer(cfg, None, npoints=npoints, nchunks=nchunks)
+    _em_two_args = False
+    if epoch_metric is not None:
+        import inspect
+        _em_two_args = len(
+            inspect.signature(epoch_metric).parameters) >= 2
 
     def run_impl(carry, coords, target, gt_arr):
         if grid is not None:
@@ -636,7 +641,17 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
             best_mse = jnp.where(is_best, tracked, best_mse)
             best_rec, best_params = track_best(
                 is_best, (rec, params), (best_rec, best_params))
-            extra = epoch_metric(rec) if epoch_metric is not None else 0.0
+            if epoch_metric is None:
+                extra = 0.0
+            elif _em_two_args:
+                # two-arg metrics receive the fitting target as a program
+                # ARGUMENT — a metric that instead closes over a device
+                # array embeds it as a compile-time constant, and at 512^3
+                # that 0.5 GB constant blows the tunnel's compile-request
+                # size cap (HTTP 413)
+                extra = epoch_metric(rec, target)
+            else:
+                extra = epoch_metric(rec)
             return ((params, opt_state, rec, key, best_mse, best_rec,
                      best_params), (mse_gt, mse_noisy, extra))
 
