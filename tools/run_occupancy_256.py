@@ -48,6 +48,7 @@ def main():
     }
     path = os.path.join("results_tpu_r2", "occupancy",
                         f"summary_{size}.json" if size != 256 else "summary.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

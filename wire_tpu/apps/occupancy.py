@@ -123,11 +123,12 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         # at 512^3 each save round-trips the ~0.5 GB rec buffers through
         # the tunnel: space saves out for big volumes via checkpoint_every
         ckpt = CheckpointSpec(path=checkpoint_path, every=checkpoint_every)
-    # ONE device transfer of the volume, shared by the fitter and the
-    # epoch metric (which receives it as a program ARGUMENT — a closure
-    # over a 0.5 GB device array would embed it as a compile-time
-    # constant and blow the tunnel's compile-request cap, HTTP 413)
-    target = jax.numpy.asarray(target)
+    # target stays a HOST array here: the fitter makes the single device
+    # transfer itself, the epoch metric receives it as a program ARGUMENT
+    # (a closure over a 0.5 GB device array would embed it as a
+    # compile-time constant and blow the tunnel's compile-request cap,
+    # HTTP 413), and the checkpoint fingerprint can digest its CONTENT
+    # (device arrays are digested by shape only).
 
     if mesh is not None:
         from wire_tpu.dist import fit_pointwise_sharded

@@ -98,9 +98,12 @@ class GridSpec:
         idx = jnp.asarray(idx)
 
         def axis(j, num):
-            # linspace(-1, 1, num)[j] with exact endpoints
+            # linspace(-1, 1, num)[j] with exact endpoints; a size-1 axis
+            # is [-1.0] (np.linspace convention), not +1
             step = jnp.float32(2.0 / max(num - 1, 1))
             v = jnp.float32(-1.0) + j.astype(jnp.float32) * step
+            if num == 1:
+                return jnp.full_like(v, -1.0)
             return jnp.where(j == num - 1, jnp.float32(1.0), v)
 
         if self.T is None:

@@ -81,21 +81,55 @@ def _fit_fingerprint(cfg, model, *arrays):
     device contribute shape/dtype only — digesting them would force a
     device->host transfer, which tunneled backends make expensive."""
     h = hashlib.md5()
+    if isinstance(cfg, FitConfig):
+        # scan_segment partitions the same trajectory into device programs
+        # ("results are identical") and is retuned to fit tunnel deadlines —
+        # a resume after retuning it must NOT be refused
+        cfg = dataclasses.replace(cfg, scan_segment=0)
     h.update(repr(cfg).encode())
     h.update(repr(getattr(model, "spec", model)).encode())
     for a in arrays:
-        if a is None:
-            h.update(b"none")
-            continue
-        if dataclasses.is_dataclass(a) and not isinstance(a, type):
-            h.update(repr(a).encode())    # e.g. signals.coords.GridSpec
-            continue
-        arr = np.asarray(a) if isinstance(a, np.ndarray) else a
-        h.update(str(getattr(arr, "shape", ())).encode())
-        h.update(str(getattr(arr, "dtype", type(arr))).encode())
-        if isinstance(arr, np.ndarray) and arr.size:
-            h.update(np.float64(arr.sum(dtype=np.float64)).tobytes())
+        _digest_value(h, a)
     return h.hexdigest()
+
+
+def _digest_value(h, a):
+    if a is None:
+        h.update(b"none")
+        return
+    if dataclasses.is_dataclass(a) and not isinstance(a, type):
+        h.update(repr(a).encode())        # e.g. signals.coords.GridSpec
+        return
+    if isinstance(a, (str, int, float, bool, bytes)):
+        h.update(repr(a).encode())
+        return
+    if isinstance(a, (tuple, list)):
+        for v in a:
+            _digest_value(h, v)
+        return
+    arr = a
+    h.update(str(getattr(arr, "shape", ())).encode())
+    h.update(str(getattr(arr, "dtype", type(arr).__name__)).encode())
+    if isinstance(arr, np.ndarray) and arr.size:
+        h.update(np.float64(arr.sum(dtype=np.float64)).tobytes())
+        # the sum alone is permutation-invariant (a transposed/flipped
+        # signal would pass); a strided sample pins positions cheaply
+        flat = arr.reshape(-1)
+        stride = max(1, flat.size // 4096)
+        h.update(np.ascontiguousarray(
+            flat[::stride][:4096].astype(np.float64)).tobytes())
+    elif (not hasattr(arr, "shape")
+          and getattr(a, "__dict__", None) is not None):
+        # hashable operator closures (RadonOp/DownsampleOp): digest their
+        # identifying attributes process-stably (python hash() is salted)
+        h.update(type(a).__name__.encode())
+        for k in sorted(vars(a)):
+            h.update(k.encode())
+            v = vars(a)[k]
+            if isinstance(v, np.ndarray) or hasattr(v, "shape"):
+                _digest_value(h, np.asarray(v))
+            else:
+                h.update(repr(v).encode())
 
 
 def _save_fit_state(path, carry, hists, done, fingerprint=None):
@@ -682,7 +716,8 @@ def fit_operator(model, params, coords, measurement, operator_fn,
     weak #6).  Numerics are identical (same forward values; backward
     recomputes per chunk).
     """
-    ckpt_fp = (_fit_fingerprint(cfg, model, coords, measurement, gt_field)
+    ckpt_fp = (_fit_fingerprint(cfg, model, coords, measurement, gt_field,
+                                operator_fn)
                if checkpoint is not None else None)
     coords = jnp.asarray(coords)
     measurement = jnp.asarray(measurement)
