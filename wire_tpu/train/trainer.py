@@ -51,6 +51,15 @@ class FitConfig:
     # tunneled backend); the fit loops over segments carrying state
     # (optimizer counts continue across segments, so results are identical)
     scan_segment: int = 250
+    # sort indices WITHIN each chunk of the epoch permutation: chunk
+    # membership (hence the optimization trajectory) is unchanged — a
+    # chunk's gradient is a mean, so within-chunk order only permutes the
+    # float reduction order — but sorted rows turn the chunk gather/
+    # scatter into near-sequential HBM access (TPU random gathers are the
+    # chunk protocol's bottleneck).  Sorting keeps padding sentinels
+    # tail-contiguous (they are the largest values).  Off by default for
+    # bitwise reference-composition parity.
+    sort_chunks: bool = False
 
 
 @dataclasses.dataclass
@@ -633,6 +642,8 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
                     perm = jnp.concatenate(
                         [perm, jnp.full((npad,), npoints, perm.dtype)])
                 perm = perm.reshape(nchunks, mp)
+                if cfg.sort_chunks:
+                    perm = jnp.sort(perm, axis=1)
 
                 def chunk_body(inner, idx):
                     params, opt_state, rec = inner
