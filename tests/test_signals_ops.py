@@ -23,11 +23,23 @@ def test_grid2d_matches_reference_layout():
 
 
 def test_grid3d_matches_reference_layout():
+    # the reference's 3D layout (utils.py:171-175): x samples W, y samples
+    # H — asserted non-cubic so the axis order matters (ADVICE r2)
     H, W, T = 3, 4, 5
-    X, Y, Z = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+    X, Y, Z = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H),
                           np.linspace(-1, 1, T))
     ref = np.hstack((X.reshape(-1, 1), Y.reshape(-1, 1), Z.reshape(-1, 1)))
     np.testing.assert_allclose(C.grid3d(H, W, T), ref, atol=1e-7)
+
+
+def test_gridspec_rows_ulp_bound():
+    # GridSpec docstring claims f32-rounding agreement with get_coords;
+    # pin it: max |delta| <= 4 ulp on a large non-cubic grid (ADVICE r2)
+    ulp1 = np.spacing(np.float32(1.0))  # values live in [-1, 1]
+    for spec in (C.GridSpec(257, 123), C.GridSpec(7, 9, 11)):
+        full = spec.materialize()
+        rows = np.asarray(spec.rows(np.arange(spec.npoints)))
+        assert np.max(np.abs(rows - full)) <= 2 * ulp1
 
 
 def test_measure_np_statistics():

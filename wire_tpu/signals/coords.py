@@ -25,9 +25,13 @@ def grid2d(H, W, dtype=np.float32):
 
 
 def grid3d(H, W, T, dtype=np.float32):
-    """(H*W*T, 3) coords matching utils.get_coords 3D ('xy' meshgrid)."""
-    x = np.linspace(-1, 1, H, dtype=dtype)
-    y = np.linspace(-1, 1, W, dtype=dtype)
+    """(H*W*T, 3) coords matching utils.get_coords 3D (utils.py:171-175):
+    ``np.meshgrid(linspace(W), linspace(H), linspace(T))`` 'xy' indexing,
+    output shape (H, W, T), so x samples the W axis and y the H axis —
+    also for non-cubic volumes (ADVICE r2: an earlier version swapped the
+    x/y sample counts, identical only for H == W)."""
+    x = np.linspace(-1, 1, W, dtype=dtype)
+    y = np.linspace(-1, 1, H, dtype=dtype)
     z = np.linspace(-1, 1, T, dtype=dtype)
     X, Y, Z = np.meshgrid(x, y, z)
     return np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
@@ -46,16 +50,16 @@ def grid_rows(H, W, T, lo, hi, dtype=np.float32):
     ever materializes the full 134M-point coordinate array
     (wire_occupancy.py:72 at 512^3; SURVEY.md §7 hard part 4).
 
-    grid3d uses np.meshgrid(x_H, y_W, z_T) with 'xy' indexing, whose output
-    shape is (W, H, T): flat index n = i*(H*T) + j*T + k with coords
-    (x[j], y[i], z[k]).
+    grid3d uses np.meshgrid(x_W, y_H, z_T) with 'xy' indexing, whose output
+    shape is (H, W, T): flat index n = i*(W*T) + j*T + k with coords
+    (x_W[j], y_H[i], z_T[k]).
     """
     n = np.arange(lo, hi, dtype=np.int64)
-    x = np.linspace(-1, 1, H, dtype=dtype)
-    y = np.linspace(-1, 1, W, dtype=dtype)
+    x = np.linspace(-1, 1, W, dtype=dtype)
+    y = np.linspace(-1, 1, H, dtype=dtype)
     z = np.linspace(-1, 1, T, dtype=dtype)
-    i = n // (H * T)
-    j = (n // T) % H
+    i = n // (W * T)
+    j = (n // T) % W
     k = n % T
     return np.stack([x[j], y[i], z[k]], axis=-1)
 
@@ -73,9 +77,11 @@ class GridSpec:
     closed-form function of its index, so passing ``GridSpec`` to
     ``fit_pointwise`` instead of the materialized array deletes both.
 
-    Row values match ``get_coords`` to f32 rounding (host linspace
-    multiplies in f64 then casts; on-device arithmetic is f32 — <=1 ulp
-    apart; endpoints exact by construction).
+    Row values match ``get_coords`` to f32 rounding — host linspace
+    multiplies in f64 then casts while on-device arithmetic is f32, so
+    interior values can differ by a few ulp at the [-1, 1] scale
+    (endpoints exact by construction); tests pin max |delta| <= 2 ulp(1.0)
+    (test_signals_ops.py::test_gridspec_rows_ulp_bound).
     """
     H: int
     W: int
@@ -111,13 +117,13 @@ class GridSpec:
             r = idx // self.W
             c = idx % self.W
             return jnp.stack([axis(c, self.W), axis(r, self.H)], axis=-1)
-        # grid3d ('xy' meshgrid, see grid_rows): n = i*(H*T) + j*T + k
-        # -> (x_H[j], y_W[i], z_T[k])
+        # grid3d ('xy' meshgrid, see grid_rows): n = i*(W*T) + j*T + k
+        # -> (x_W[j], y_H[i], z_T[k])
         H, W, T = self.H, self.W, self.T
-        i = idx // (H * T)
-        j = (idx // T) % H
+        i = idx // (W * T)
+        j = (idx // T) % W
         k = idx % T
-        return jnp.stack([axis(j, H), axis(i, W), axis(k, T)], axis=-1)
+        return jnp.stack([axis(j, W), axis(i, H), axis(k, T)], axis=-1)
 
     def materialize(self):
         """The full host-side array (= get_coords(H, W, T))."""

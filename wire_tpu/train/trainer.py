@@ -116,6 +116,19 @@ def _digest_value(h, a):
         for v in a:
             _digest_value(h, v)
         return
+    if callable(a) and not hasattr(a, "shape") and not hasattr(a, "spec") \
+            and getattr(a, "__closure__", "no") != "no":
+        # plain functions/lambdas (e.g. an epoch_metric): identify by
+        # qualname + closure cell values so a resume with a changed metric
+        # (different threshold, different function) is refused rather than
+        # silently mixing incompatible 'extra' histories (ADVICE r2)
+        h.update(getattr(a, "__qualname__", repr(type(a))).encode())
+        for cell in (a.__closure__ or ()):
+            try:
+                _digest_value(h, cell.cell_contents)
+            except ValueError:  # empty cell
+                h.update(b"emptycell")
+        return
     arr = a
     h.update(str(getattr(arr, "shape", ())).encode())
     h.update(str(getattr(arr, "dtype", type(arr).__name__)).encode())
@@ -170,6 +183,11 @@ def _load_fit_state(path, carry_template, hist_arity, fingerprint=None):
                     "(config, model, or input data differ) — resuming it "
                     "would silently corrupt this run.  Delete the file or "
                     "point CheckpointSpec.path elsewhere.")
+        elif fingerprint is not None:
+            from wire_tpu.train.artifacts import log
+            log(f"WARNING: checkpoint {path!r} has no fingerprint "
+                "(legacy format) — resuming UNVERIFIED; the guard against "
+                "foreign checkpoints does not apply.")
         leaves, treedef = jax.tree_util.tree_flatten(carry_template)
         out = []
         for i, leaf in enumerate(leaves):
@@ -285,7 +303,7 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
     Runs the whole fit in one jitted scan-over-epochs program.
     """
     from wire_tpu.signals.coords import GridSpec
-    ckpt_fp = (_fit_fingerprint(cfg, model, coords, target, gt)
+    ckpt_fp = (_fit_fingerprint(cfg, model, coords, target, gt, epoch_metric)
                if checkpoint is not None else None)
     grid = coords if isinstance(coords, GridSpec) else None
     if grid is not None:
@@ -572,9 +590,20 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
     tx = make_optimizer(cfg, None, npoints=npoints, nchunks=nchunks)
     _em_two_args = False
     if epoch_metric is not None:
+        # two-arg metrics receive (rec, target); count only positional
+        # parameters WITHOUT defaults so `lambda rec, thres=0.5` stays
+        # one-arg, and fall back to one-arg for C-level callables whose
+        # signature inspect can't read (e.g. some jnp functions)
         import inspect
-        _em_two_args = len(
-            inspect.signature(epoch_metric).parameters) >= 2
+        try:
+            sig = inspect.signature(epoch_metric)
+            required = [
+                p for p in sig.parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            _em_two_args = len(required) >= 2
+        except (ValueError, TypeError):
+            _em_two_args = False
 
     def run_impl(carry, coords, target, gt_arr):
         if grid is not None:
