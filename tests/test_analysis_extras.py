@@ -259,3 +259,35 @@ def test_seed_everything():
     seed_everything(3)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+def test_register_burst_subpixel_at_4x():
+    """VERDICT r2 #1 done-criterion: registering a synthetically warped
+    burst at 4x LR recovers the warped HR coordinate grids to < 0.3 px
+    (pyramid ECC on cubic-upsampled LR frames, zero-border masked,
+    inverted to the sampling convention like the reference's mat2coords)."""
+    size, scale = 256, 4
+    rng = np.random.RandomState(3)
+    im = I.synthetic_image(size, size, 3, seed=3)
+    imstack_hr, Xgt, Ygt, mats = Mo.make_burst(
+        im, shift_max=5 * scale, theta_max=np.pi / 10, nframes=4, rng=rng)
+    imstack = Mo.downsample_burst(imstack_hr, scale)
+    Xs, Ys, ok, emats = Mo.register_burst(imstack, (size, size))
+    assert ok.all()
+    ex = (Xs - Xgt) * size / 2
+    ey = (Ys - Ygt) * size / 2
+    err = np.hypot(ex, ey)
+    assert err.mean() < 0.3, f"mean registration error {err.mean():.3f} px"
+
+
+def test_pyramid_register_identity_and_convention():
+    """pyramid_register returns W with mov(W p) ~= ref(p): registering a
+    frame against itself is identity; a pure shift is recovered."""
+    im = I.synthetic_image(128, 128, 1, seed=5)[..., 0]
+    w, ok = Mo.pyramid_register(im, im)
+    assert ok
+    np.testing.assert_allclose(w, np.eye(2, 3), atol=1e-3)
+    mov = np.roll(im, (0, 3), axis=(0, 1))  # mov(x) = im(x - 3 in x)
+    w, ok = Mo.pyramid_register(im, mov, mask=np.ones_like(im))
+    assert ok
+    # mov(p) = im(p - 3x) = im(M p), W = M^{-1} => W x-translation ~= +3
+    assert abs(w[0, 2] - 3) < 0.1 and abs(w[1, 2]) < 0.1

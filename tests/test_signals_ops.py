@@ -219,3 +219,17 @@ def test_radon_fourier_gradient_is_adjoint():
     lhs = float(f(x))
     rhs = float(jnp.sum(x * g))
     assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+
+def test_radon_rotate_pallas_route_matches_oracle():
+    """radon(method='rotate_interpret') — the Pallas rotate-project kernel
+    route — matches the strict XLA rotate oracle (rotsum kernel parity is
+    covered in depth in test_pallas_rotsum.py; this pins the radon()
+    plumbing)."""
+    im = I.synthetic_image(64, 64, 1, seed=2)[..., 0]
+    angles = np.linspace(0, 180, 7, dtype=np.float32)
+    s_oracle = np.asarray(radon_fn(jnp.asarray(im), angles,
+                                   method="rotate_xla"))
+    s_kernel = np.asarray(radon_fn(jnp.asarray(im), angles,
+                                   method="rotate_interpret"))
+    np.testing.assert_allclose(s_kernel, s_oracle, rtol=2e-5, atol=1e-3)

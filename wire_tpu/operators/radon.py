@@ -49,6 +49,20 @@ def radon(img, angles_degrees, *, method="auto", checkpoint=True):
         else:
             method = "rotate"
     if method == "rotate":
+        # reference-exact semantics; on TPU the Pallas rotate-project
+        # kernel computes the same bilinear-rotate line integrals without
+        # materializing rotated images (ops/pallas/rotsum.py — the XLA
+        # gather path costs ~2.7 ms/angle there).  'rotate_xla' keeps the
+        # strict f32 oracle on any backend.
+        if jax.default_backend() == "tpu" and img.shape[0] == img.shape[1]:
+            method = "rotate_pallas"
+        else:
+            method = "rotate_xla"
+    if method in ("rotate_pallas", "rotate_interpret"):
+        from wire_tpu.ops.pallas.rotsum import rotate_project
+        return rotate_project(img, jnp.asarray(angles_degrees),
+                              method == "rotate_interpret")
+    if method == "rotate_xla":
         def project(angle):
             return jnp.sum(rotate(img, angle), axis=0)
         if checkpoint:

