@@ -1,0 +1,89 @@
+"""REAL multi-process execution (VERDICT r2 #3): spawn a 2-process CPU
+cluster (jax.distributed.initialize over localhost), feed per-process rows,
+run both sharded-fitter modes, and assert the trajectories equal the
+single-process 8-device run — dist/multihost.py executed with
+process_count > 1, not just compiled."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+from wire_tpu.dist import fit_pointwise_sharded, make_mesh
+from wire_tpu.nn import get_inr
+from wire_tpu.signals import coords as C, image as I
+from wire_tpu.train.trainer import FitConfig
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def cluster_result(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mp") / "proc0.json")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), "2", str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+        outs.append(stdout.decode(errors="replace"))
+    for p, text in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
+    with open(out) as f:
+        return json.load(f)
+
+
+def test_two_process_cluster_ran(cluster_result):
+    assert cluster_result["nproc"] == 2
+    assert cluster_result["ndev"] == 8
+
+
+def test_trajectories_match_single_process(cluster_result):
+    """Both sharded modes over the 2-process global mesh reproduce the
+    single-process 8-device trajectories (same per-device shards, same
+    key streams; reductions cross DCN, hence allclose not bitwise)."""
+    H = W = 32
+    n = H * W
+    spec = C.GridSpec(H, W)
+    im = I.synthetic_image(H, W, 3, seed=0)
+    target = im.reshape(-1, 3)
+    mesh = make_mesh(8)
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=32, hidden_layers=2, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=4.0)
+
+    cfg = FitConfig(learning_rate=5e-3, niters=20, maxpoints=n, seed=0)
+    res = fit_pointwise_sharded(model, model.init(jax.random.key(0)),
+                                spec.materialize(), target, cfg, mesh,
+                                gt=target, track="noisy", donate=False)
+    np.testing.assert_allclose(np.asarray(res.mse_noisy),
+                               np.asarray(cluster_result["local_mse"]),
+                               rtol=2e-4, atol=1e-7)
+
+    cfg_gp = FitConfig(learning_rate=5e-3, niters=20, maxpoints=n // 4,
+                       seed=0)
+    res_gp = fit_pointwise_sharded(model, model.init(jax.random.key(0)),
+                                   spec, target, cfg_gp, mesh, gt=target,
+                                   track="noisy", donate=False,
+                                   global_perm=True)
+    np.testing.assert_allclose(np.asarray(res_gp.mse_noisy),
+                               np.asarray(cluster_result["global_mse"]),
+                               rtol=2e-4, atol=1e-7)

@@ -302,9 +302,21 @@ def _drive(model, cfg, mesh, cache_key, pspec_carry, epoch_body, coords,
     mse_gt = np.concatenate([np.asarray(h) for h in gts])
     mse_noisy = np.concatenate([np.asarray(h) for h in noisys])
     params, _, rec, _, best_mse, best_rec, best_params = carry
+
+    def fetch(arr):
+        # the rec buffers are sharded over the mesh; with >1 process their
+        # shards span non-addressable devices and np.asarray refuses — pull
+        # the global value with an allgather (metrics/params are replicated
+        # and unaffected)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                arr, tiled=True))
+        return np.asarray(arr)
+
     res = FitResult(
         params=params, best_params=best_params,
-        best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
+        best_rec=fetch(best_rec), final_rec=fetch(rec),
         mse_gt=mse_gt, mse_noisy=mse_noisy,
         best_mse=float(np.asarray(best_mse).ravel()[0]), wall_time_s=wall)
     # per-epoch metric sums (e.g. IoU intersection/union counts), already
