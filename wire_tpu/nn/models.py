@@ -274,6 +274,21 @@ def wire2d_apply(params, coords, spec: INRSpec):
     return yr
 
 
+def wire2d_step(params, coords, target, spec: INRSpec, *, nvalid=None,
+                denom=None, gt=None, want_metrics=False):
+    """Dispatch to the one-pass fused wire2d train-step kernel
+    (ops/pallas/wire2d_step.py) when the fused path applies."""
+    if spec.fused != "never" and spec.dtype == jnp.float32:
+        on_tpu = jax.default_backend() == "tpu"
+        if spec.fused == "always" or on_tpu:
+            from wire_tpu.ops.pallas.wire2d_step import wire2d_step_fused
+            return wire2d_step_fused(params, coords, target, spec,
+                                     nvalid=nvalid, denom=denom, gt=gt,
+                                     want_metrics=want_metrics,
+                                     interpret=not on_tpu)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Fused real-MLP dispatch (ops/pallas/real_mlp.py): canonicalize a family's
 # params to (w, alpha, beta) per layer + basis kinds, run the fused kernel.

@@ -1,0 +1,369 @@
+"""One-pass fused TRAIN-STEP Pallas kernel for the WIRE-2D Gabor MLP
+(VERDICT r2 #6) — the wire_step.py scaffold adapted to the two-linear
+layer form of modules/wire2d.py:45-67.
+
+Each WIRE-2D layer computes TWO complex linears of the same input
+(``lin`` and ``scale_orth``) and activates
+
+    exp(1j*omega0*lin) * exp(-sigma0^2 (|lin|^2 + |orth|^2))
+
+The kernel stacks both heads along N into ONE real block GEMM per layer:
+with A = [ar | ai] (n, 2hp) and
+
+    W2 = [[wr_l, wi_l, wr_o, wi_o],
+          [-wi_l, wr_l, -wi_o, wr_o]]          (2hp, 4hp)
+
+A @ W2 = [lr | li | or | oi] — the four real channels of both heads in one
+MXU contraction (the same doubled-M/K trick as wire_step.py's stacked
+complex GEMM, extended to doubled N).  The first layer is two REAL linears
+(wire2d.py:36-43 is_first): z1 = c @ [Wl | Wo] (d, 2hp), imaginary
+channels structurally zero, so its activation is exp(-s^2(lr^2+or^2)) with
+phase omega0*lr.
+
+Everything else — cross-tile software pipelining (fwd tile i interleaved
+with bwd tile i-1), VMEM scratch accumulators with unconditional +=,
+in-kernel MSE loss-grad and optional epoch-metric sums, tail-sentinel
+masking — is identical in structure to wire_step.py; see its docstring
+for the measured scheduling facts.  Backward uses the activation-form
+identities: with a_out = (ar, ai) and t1 = dar*ar + dai*ai,
+t2 = dai*ar - dar*ai,
+
+    d lr = -2 s^2 lr t1 + omega0 t2      d or = -2 s^2 or t1
+    d li = (-omega0 - 2 s^2 li) t1       d oi = -2 s^2 oi t1
+
+Exactness vs XLA autodiff of wire2d_apply is pinned in interpret mode
+(tests/test_pallas_wire2d.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
+
+TILE_N = 512
+
+
+def _pad_params_stacked(params, L, hp, op):
+    """Stacked, lane-padded weights: w1 = [Wl | Wo] (d, 2hp), per hidden
+    layer one (2hp, 4hp) two-head block matrix, final fW = [fwr; -fwi]."""
+    h = params["first_lin"]["w"].shape[1]
+    o = params["final"]["br"].shape[0]
+
+    def padh(x):
+        return jnp.pad(x, ((0, hp - x.shape[0]), (0, hp - x.shape[1])))
+
+    out = {
+        "w1": jnp.concatenate(
+            [jnp.pad(params["first_lin"]["w"], ((0, 0), (0, hp - h))),
+             jnp.pad(params["first_orth"]["w"], ((0, 0), (0, hp - h)))],
+            axis=1),
+        "b1": jnp.concatenate(
+            [jnp.pad(params["first_lin"]["b"], (0, hp - h)),
+             jnp.pad(params["first_orth"]["b"], (0, hp - h))])[None, :],
+    }
+    for i in range(L):
+        pl_ = params[f"hidden_{i}_lin"]
+        po = params[f"hidden_{i}_orth"]
+        top = jnp.concatenate([padh(pl_["wr"]), padh(pl_["wi"]),
+                               padh(po["wr"]), padh(po["wi"])], axis=1)
+        bot = jnp.concatenate([-padh(pl_["wi"]), padh(pl_["wr"]),
+                               -padh(po["wi"]), padh(po["wr"])], axis=1)
+        out[f"h{i}W"] = jnp.concatenate([top, bot], axis=0)
+        out[f"h{i}B"] = jnp.concatenate(
+            [jnp.pad(pl_["br"], (0, hp - h)),
+             jnp.pad(pl_["bi"], (0, hp - h)),
+             jnp.pad(po["br"], (0, hp - h)),
+             jnp.pad(po["bi"], (0, hp - h))])[None, :]
+    f = params["final"]
+    out["fW"] = jnp.concatenate(
+        [jnp.pad(f["wr"], ((0, hp - h), (0, op - o))),
+         jnp.pad(-f["wi"], ((0, hp - h), (0, op - o)))], axis=0)
+    out["fb"] = jnp.pad(f["br"], (0, op - o))[None, :]
+    return out
+
+
+def _unstack_grads(dw, params, L, h, hp, o):
+    """Stacked-layout grads back to the wire2d params pytree.  W2's blocks
+    alias each complex weight twice (+wr twice, +/-wi once each)."""
+    dparams = {
+        "first_lin": {"w": dw["w1"][:, :h], "b": dw["b1"][0, :h]},
+        "first_orth": {"w": dw["w1"][:, hp:hp + h],
+                       "b": dw["b1"][0, hp:hp + h]},
+        "final": {"wr": dw["fW"][:h, :o],
+                  "wi": -dw["fW"][hp:hp + h, :o],
+                  "br": dw["fb"][0, :o],
+                  "bi": jnp.zeros_like(params["final"]["bi"])},
+    }
+    for i in range(L):
+        G = dw[f"h{i}W"]
+        B = dw[f"h{i}B"][0]
+        s = lambda r, c: G[r * hp:r * hp + h, c * hp:c * hp + h]  # noqa: E731
+        dparams[f"hidden_{i}_lin"] = {
+            "wr": s(0, 0) + s(1, 1), "wi": s(0, 1) - s(1, 0),
+            "br": B[:h], "bi": B[hp:hp + h]}
+        dparams[f"hidden_{i}_orth"] = {
+            "wr": s(0, 2) + s(1, 3), "wi": s(0, 3) - s(1, 2),
+            "br": B[2 * hp:2 * hp + h], "bi": B[3 * hp:3 * hp + h]}
+    return dparams
+
+
+def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                      tile_n, hp, n_tiles, metrics):
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
+    s2 = sigma0 * sigma0
+
+    def kernel(*refs):
+        if metrics:
+            c_ref, t_ref, gt_ref, nv_ref, invd_ref = refs[:5]
+            refs = refs[5:]
+        else:
+            c_ref, t_ref, nv_ref, invd_ref = refs[:4]
+            gt_ref = None
+            refs = refs[4:]
+        w = {nm: refs[k][:] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        y_ref = refs[0]
+        refs = refs[1:]
+        m_ref = None
+        if metrics:
+            m_ref, refs = refs[0], refs[1:]
+        dout = {nm: refs[k] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        dacc = {nm: refs[k] for k, nm in enumerate(names)}
+        refs = refs[len(names):]
+        sc_m = None
+        if metrics:
+            sc_m, refs = refs[0], refs[1:]
+        live = refs
+        sc_c, sc_z1 = live[0], live[1]
+        sc_layer = [(live[2 + 2 * li], live[3 + 2 * li])    # (a_in, z4)
+                    for li in range(L)]
+        sc_afin, sc_g = live[2 + 2 * L], live[3 + 2 * L]
+
+        i = pl.program_id(0)
+        sf = jax.lax.rem(i, 2)
+        sb = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _zero():
+            for nm in names:
+                dacc[nm][:] = jnp.zeros_like(dacc[nm])
+            if metrics:
+                sc_m[:] = jnp.zeros_like(sc_m)
+            for ref in live:
+                ref[1] = jnp.zeros_like(ref[1])
+
+        def acc(nm, val):
+            dacc[nm][:] += val
+
+        # ---- fwd(tile i) hand-interleaved with bwd(tile i-1) -------------
+        c = c_ref[:]
+        sc_c[sf] = c
+        z1 = _dot(c, w["w1"]) + w["b1"]
+
+        g_b = sc_g[sb]
+        afin_b = sc_afin[sb]
+        acc("fW", _dot_tn(afin_b, g_b))
+        da = _dot_nt(g_b, w["fW"])
+
+        sc_z1[sf] = z1
+        lr1 = z1[:, :hp]
+        or1 = z1[:, hp:]
+        m0 = jnp.exp(-s2 * (lr1 * lr1 + or1 * or1))
+        a = jnp.concatenate([m0 * jnp.cos(first_omega0 * lr1),
+                             m0 * jnp.sin(first_omega0 * lr1)], axis=1)
+        acc("fb", jnp.sum(g_b, axis=0, keepdims=True))
+
+        a_out_b = afin_b
+        for li in range(L):
+            # fwd hidden layer li of tile i ...
+            sc_layer[li][0][sf] = a
+            z = _dot(a, w[f"h{li}W"]) + w[f"h{li}B"]
+
+            # ... zipped with bwd hidden layer L-1-li of tile i-1
+            bj = L - 1 - li
+            a_in_b = sc_layer[bj][0][sb]
+            z_b = sc_layer[bj][1][sb]
+            lr_b, li_b = z_b[:, :hp], z_b[:, hp:2 * hp]
+            or_b, oi_b = z_b[:, 2 * hp:3 * hp], z_b[:, 3 * hp:]
+            ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+            dar, dai = da[:, :hp], da[:, hp:]
+            t1 = dar * ar_b + dai * ai_b
+            t2 = dai * ar_b - dar * ai_b
+            dlr = (-2.0 * s2) * lr_b * t1 + omega0 * t2
+            dli = (-omega0 - (2.0 * s2) * li_b) * t1
+            dor = (-2.0 * s2) * or_b * t1
+            doi = (-2.0 * s2) * oi_b * t1
+            dz = jnp.concatenate([dlr, dli, dor, doi], axis=1)
+
+            sc_layer[li][1][sf] = z
+
+            acc(f"h{bj}W", _dot_tn(a_in_b, dz))
+            lr, lif = z[:, :hp], z[:, hp:2 * hp]
+            orr, ori = z[:, 2 * hp:3 * hp], z[:, 3 * hp:]
+            arg = lr * lr + lif * lif + orr * orr + ori * ori
+            m = jnp.exp(-omega0 * lif - s2 * arg)
+            acc(f"h{bj}B", jnp.sum(dz, axis=0, keepdims=True))
+            da = _dot_nt(dz, w[f"h{bj}W"])
+            a = jnp.concatenate([m * jnp.cos(omega0 * lr),
+                                 m * jnp.sin(omega0 * lr)], axis=1)
+            a_out_b = a_in_b
+
+        # fwd epilogue: final layer of tile i
+        sc_afin[sf] = a
+        y = _dot(a, w["fW"]) + w["fb"]
+        y_ref[:] = y
+
+        # bwd epilogue: first layer of tile i-1 (real two-head linear)
+        z1_b = sc_z1[sb]
+        lr_b, or_b = z1_b[:, :hp], z1_b[:, hp:]
+        ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+        dar, dai = da[:, :hp], da[:, hp:]
+        t1 = dar * ar_b + dai * ai_b
+        t2 = dai * ar_b - dar * ai_b
+        dlr1 = (-2.0 * s2) * lr_b * t1 + first_omega0 * t2
+        dor1 = (-2.0 * s2) * or_b * t1
+        dz1 = jnp.concatenate([dlr1, dor1], axis=1)
+        acc("w1", _dot_tn(sc_c[sb], dz1))
+        acc("b1", jnp.sum(dz1, axis=0, keepdims=True))
+
+        # ---- in-kernel MSE loss-gradient for tile i ----------------------
+        tile = jnp.minimum(i, n_tiles - 1)
+        rows = (tile * tile_n
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0))
+        mask = (rows < nv_ref[0, 0]).astype(y.dtype)
+        err_t = mask * (y - t_ref[:])
+        sc_g[sf] = (2.0 * invd_ref[0, 0]) * err_t
+
+        if metrics:
+            w_live = (i < n_tiles).astype(y.dtype)
+            err_g = mask * (y - gt_ref[:])
+            sc_m[0:1] += w_live * jnp.sum(err_t * err_t, axis=0,
+                                          keepdims=True)
+            sc_m[1:2] += w_live * jnp.sum(err_g * err_g, axis=0,
+                                          keepdims=True)
+
+        @pl.when(i == n_tiles)
+        def _flush():
+            for nm in names:
+                dout[nm][:] = dacc[nm][:]
+            if metrics:
+                m_ref[:] = sc_m[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _step_program(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
+                  interpret, precision="default", metrics=False):
+    hp = _round_up(h, 128)
+    op = _round_up(max(o, 1), 128)
+    names = ["w1", "b1"]
+    for i in range(L):
+        names += [f"h{i}W", f"h{i}B"]
+    names += ["fW", "fb"]
+    shapes = {"w1": (d, 2 * hp), "b1": (1, 2 * hp), "fW": (2 * hp, op),
+              "fb": (1, op)}
+    for i in range(L):
+        shapes[f"h{i}W"] = (2 * hp, 4 * hp)
+        shapes[f"h{i}B"] = (1, 4 * hp)
+
+    def wspec(nm):
+        s = shapes[nm]
+        zeros = (0,) * len(s)
+        return pl.BlockSpec(s, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def imap(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    scratch = [pltpu.VMEM(shapes[nm], jnp.float32) for nm in names]
+    if metrics:
+        scratch += [pltpu.VMEM((2, op), jnp.float32)]
+    scratch += [pltpu.VMEM((2, tile_n, d), jnp.float32),        # c
+                pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32)]   # z1
+    for _ in range(L):
+        scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),  # a_in
+                    pltpu.VMEM((2, tile_n, 4 * hp), jnp.float32)]  # z4
+    scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),      # a_fin
+                pltpu.VMEM((2, tile_n, op), jnp.float32)]          # g
+
+    tspec = pl.BlockSpec((tile_n, op), imap, memory_space=pltpu.VMEM)
+    mspec = [pl.BlockSpec((2, op), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] if metrics else []
+    mshape = [jax.ShapeDtypeStruct((2, op), jnp.float32)] if metrics else []
+    step = pl.pallas_call(
+        _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                          tile_n, hp, n_tiles, metrics),
+        grid=(n_tiles + 1,),
+        in_specs=[pl.BlockSpec((tile_n, d), imap, memory_space=pltpu.VMEM),
+                  tspec] + ([tspec] if metrics else [])
+                 + [sspec(), sspec()]
+                 + [wspec(nm) for nm in names],
+        out_specs=[pl.BlockSpec((tile_n, op), imap,
+                                memory_space=pltpu.VMEM)]
+                  + mspec
+                  + [wspec(nm) for nm in names],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32)]
+                  + mshape
+                  + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
+                     for nm in names],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+    return step, names, hp, op
+
+
+def wire2d_step_fused(params, coords, target, spec, *, nvalid=None,
+                      denom=None, gt=None, want_metrics=False,
+                      interpret=False):
+    """One fused wire2d train step: (pred, dparams[, metric sums]) for
+    loss = sum_{rows < nvalid} (pred - target)^2 / denom — same contract
+    as wire_step.wire_step_fused."""
+    n, d = coords.shape
+    h = params["first_lin"]["w"].shape[1]
+    o = params["final"]["br"].shape[0]
+    L = spec.hidden_layers
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    step, names, hp, op = _step_program(
+        L, float(spec.hidden_omega0), float(spec.scale),
+        float(spec.first_omega0), d, h, o, TILE_N, n_tiles, interpret,
+        getattr(spec, "gemm_precision", "default"), want_metrics)
+    padded = _pad_params_stacked(params, L, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    tpad = jnp.pad(target, ((0, n_pad - n), (0, op - o)))
+    nv = jnp.full((1, 1), n, jnp.int32) if nvalid is None else \
+        jnp.asarray(nvalid, jnp.int32).reshape(1, 1)
+    dn = jnp.asarray(float(n * o) if denom is None else denom,
+                     jnp.float32).reshape(1, 1)
+    invd = 1.0 / dn
+    args = [cpad, tpad]
+    if want_metrics:
+        gt_arr = target if gt is None else gt
+        args.append(jnp.pad(gt_arr, ((0, n_pad - n), (0, op - o))))
+    outs = step(*args, nv, invd, *[padded[nm] for nm in names])
+    pred = outs[0][:n, :o]
+    k0 = 1
+    sums = None
+    if want_metrics:
+        m = outs[1]
+        sums = (jnp.sum(m[0]), jnp.sum(m[1]))
+        k0 = 2
+    dw = {nm: outs[k0 + k] for k, nm in enumerate(names)}
+    dparams = _unstack_grads(dw, params, L, h, hp, o)
+    if want_metrics:
+        return pred, dparams, sums
+    return pred, dparams
