@@ -301,3 +301,27 @@ def test_sharded_segmented_scan_composes():
                                  track="noisy", donate=False)
     np.testing.assert_array_equal(res2.mse_noisy, res1.mse_noisy)
     np.testing.assert_array_equal(res2.final_rec, res1.final_rec)
+
+
+def test_scaling_harness():
+    """dist.scaling harness (VERDICT r2 #8): runs on 1- and 2-device
+    meshes, returns positive coords/s and a well-formed efficiency table."""
+    from wire_tpu.dist import scaling as SC
+    from wire_tpu.nn import get_inr
+    from wire_tpu.signals import coords as C, image as I
+    from wire_tpu.train.trainer import FitConfig
+
+    H = W = 16
+    im = I.synthetic_image(H, W, 3, seed=0)
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=32, hidden_layers=1, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=4.0)
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=5e-3, niters=4, maxpoints=H * W)
+    res = SC.measure_scaling(model, params, C.grid2d(H, W),
+                             im.reshape(-1, 3), cfg, device_counts=[1, 2],
+                             repeats=1)
+    rows = SC.efficiency_table(res)
+    assert [nd for nd, _, _ in rows] == [1, 2]
+    assert all(cps > 0 for _, cps, _ in rows)
+    assert abs(rows[0][2] - 1.0) < 1e-9
