@@ -6,8 +6,8 @@ area downsample, warped-coordinate rendering, masked MSE, best-state
 reload, griddata baseline), both with oracle registration and with
 ECC-estimated registration.
 
-Writes artifacts + a JSON summary under results_tpu_r2/multi_sr.
-Usage: python tools/run_multisr_512.py [size] [niters]
+Writes artifacts + a JSON summary under <outdir>/multi_sr.
+Usage: python tools/run_multisr_512.py [size] [niters] [outdir=results_tpu_r3]
 """
 import json
 import os
@@ -20,14 +20,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     niters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    rdir = sys.argv[3] if len(sys.argv) > 3 else "results_tpu_r3"
     from wire_tpu.apps import multi_sr
 
-    outdir = os.path.join("results_tpu_r2", "multi_sr")
+    outdir = os.path.join(rdir, "multi_sr")
     os.makedirs(outdir, exist_ok=True)
     summary = {}
     for tag, use_gt in (("oracle_reg", True), ("estim_reg", False)):
         t0 = time.time()
-        out = multi_sr.run("wire", results_dir="results_tpu_r2",
+        out = multi_sr.run("wire", results_dir=rdir,
                            size=size, niters=niters, scale_sr=4,
                            use_gt_registration=use_gt)
         summary[tag] = {
