@@ -98,13 +98,15 @@ def _block_starts(sy, sx, P):
 
 def _fwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, var_ref, out_ref):
     P = var_ref.shape[1]
+    a = pl.program_id(0)
     xt = pl.program_id(1)
-    cphi = cphi_ref[0, 0]
-    sphi = sphi_ref[0, 0]
-    kv = kidx_ref[0, 0]
+    cphi = cphi_ref[a]
+    sphi = sphi_ref[a]
+    kv = kidx_ref[a]
     c = (S - 1) / 2.0
     off = (P - S) // 2
-    xs0 = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_X), 1)[0]
+    xs0 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_X), 1)[0].astype(
+        jnp.float32)      # int iota: Mosaic has no float iota
     # clamp pad lanes (x >= S) onto the last column; their output is cropped
     xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
 
@@ -129,12 +131,13 @@ def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
     def _():
         oplanes_ref[:] = jnp.zeros(oplanes_ref.shape, oplanes_ref.dtype)
 
-    cphi = cphi_ref[0, 0]
-    sphi = sphi_ref[0, 0]
-    kv = kidx_ref[0, 0]
+    cphi = cphi_ref[a]
+    sphi = sphi_ref[a]
+    kv = kidx_ref[a]
     c = (S - 1) / 2.0
     off = (P - S) // 2
-    xs0 = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_X), 1)[0]
+    xs0 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_X), 1)[0].astype(
+        jnp.float32)
     xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
     # pad lanes alias the last column; zero their cotangent instead
     valid = (xs0 + xt * TILE_X <= S - 1.0).astype(jnp.float32)
@@ -158,29 +161,33 @@ def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
 def _programs(A, S, P, interpret):
     n_xt = -(-S // TILE_X)
     grid = (A, n_xt)
-    scal = pl.BlockSpec((1, 1), lambda a, t: (a, 0),
-                        memory_space=pltpu.SMEM)
-    planes = pl.BlockSpec((4, P, P), lambda a, t: (0, 0, 0),
+    # per-angle scalars (cos phi, sin phi, variant index) ride as scalar-
+    # prefetch args: full (A,) arrays in SMEM, indexed by program_id
+    planes = pl.BlockSpec((4, P, P), lambda a, t, *_: (0, 0, 0),
                           memory_space=pltpu.VMEM)
-    sino = pl.BlockSpec((1, 1, TILE_X), lambda a, t: (a, 0, t),
+    sino = pl.BlockSpec((1, 1, TILE_X), lambda a, t, *_: (a, 0, t),
                         memory_space=pltpu.VMEM)
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=110 * 1024 * 1024)
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, S),
-        grid=grid,
-        in_specs=[scal, scal, scal, planes],
-        out_specs=sino,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[planes],
+            out_specs=sino),
         out_shape=jax.ShapeDtypeStruct((A, 1, n_xt * TILE_X), jnp.float32),
         interpret=interpret,
         compiler_params=params,
     )
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, S),
-        grid=grid,
-        in_specs=[scal, scal, scal, sino],
-        out_specs=planes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[sino],
+            out_specs=planes),
         out_shape=jax.ShapeDtypeStruct((4, P, P), jnp.float32),
         interpret=interpret,
         compiler_params=params,
@@ -235,7 +242,7 @@ def _rp_fwd(img, angles_degrees, interpret):
     cphi, sphi, kidx = _angle_parts(angles_degrees)
     planes = _variant_planes(img.astype(jnp.float32), P)
     fwd, _ = _programs(A, S, P, interpret)
-    sino = fwd(cphi[:, None], sphi[:, None], kidx[:, None], planes)
+    sino = fwd(cphi, sphi, kidx, planes)
     return sino[:, 0, :S], (cphi, sphi, kidx, (A, S, P))
 
 
@@ -244,8 +251,7 @@ def _rp_bwd(interpret, res, cot):
     n_xt = -(-S // TILE_X)
     cot_p = jnp.pad(cot, ((0, 0), (0, n_xt * TILE_X - S)))
     _, bwd = _programs(A, S, P, interpret)
-    planes_bar = bwd(cphi[:, None], sphi[:, None], kidx[:, None],
-                     cot_p[:, None, :])
+    planes_bar = bwd(cphi, sphi, kidx, cot_p[:, None, :])
     return _fold_variants(planes_bar, S), jnp.zeros_like(cphi)
 
 
