@@ -154,3 +154,38 @@ def test_mscale_step_grads_match_autodiff(nonlin, kw):
                                    err_msg=f"{nonlin} {jax.tree_util.keystr(kp)}")
     np.testing.assert_allclose(np.asarray(sums_f), np.asarray(sums_r),
                                rtol=2e-4)
+
+
+def test_mscale1_step_matches_autodiff():
+    """mscale_1 one-pass step via the canonical identity-first-layer chain
+    (scales folded into stacked first-layer weights) vs XLA autodiff."""
+    import dataclasses
+    from wire_tpu.nn import get_inr
+    from wire_tpu.nn.models import mscale1_apply, mscale1_step
+
+    model = get_inr("bspline_mscale_1", in_features=2, out_features=3,
+                    hidden_features=96, scaled_hidden_features=32,
+                    hidden_layers=3, scale=6.0, scale_tensor=(1.0, 4.0),
+                    fused="always")
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (300, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (300, 3)).astype(np.float32))
+
+    spec_ref = dataclasses.replace(model.spec, fused="never")
+
+    def loss_fn(p):
+        pred = mscale1_apply(p, coords, spec_ref)
+        return jnp.mean((pred - target) ** 2), pred
+
+    (_, pred_ref), g_ref = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    out = mscale1_step(params, coords, target, model.spec)
+    assert out is not None
+    pred, g = out
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-4, atol=1e-5)
+    for (kp, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(g)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(g_ref)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6, err_msg=str(kp))

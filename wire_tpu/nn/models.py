@@ -1103,6 +1103,37 @@ bspline_srelu_step = _make_real_step(
     lambda p, spec: _canon_uniform(p, spec, "srelu", spec.scale,
                                    lambda b: spec.scale * b))
 
+def _canon_mscale1(params, spec):
+    """mscale_1 as ONE canonical chain: the reference's first layer applies
+    a SHARED linear to scale*x per scale and concatenates RAW (no basis —
+    the B-spline application is commented out, bspline_mscale_1.py:80-87),
+    so layer 0 is a single wide 'identity'-basis linear with the scales
+    folded into stacked weight copies: [s_1 W | s_2 W | ...].  The trunk
+    layers are standard 'pre'-mode quadratic-spline layers (B(W(sigma x)) =
+    B(sigma (x W) + b) for scalar sigma)."""
+    W = params["first"]["w"]
+    b = params["first"]["b"]
+    w0 = jnp.concatenate([jnp.float32(s) * W for s in spec.scale_tensor],
+                         axis=1)
+    b0 = jnp.concatenate([b] * len(spec.scale_tensor))
+    layers = [{"w": w0, "alpha": jnp.ones((w0.shape[1],), W.dtype),
+               "beta": b0}]
+    names = ["trunk_in"] + [f"hidden_{i}"
+                            for i in range(max(spec.hidden_layers - 2, 0))]
+    for nm in names:
+        w = params[nm]["w"]
+        layers.append({"w": w,
+                       "alpha": jnp.full((w.shape[1],), spec.scale,
+                                         w.dtype),
+                       "beta": params[nm]["b"]})
+    return {"layers": layers, "final": dict(params["final"])}
+
+
+mscale1_step = _make_real_step(
+    lambda spec: ("identity",)
+    + ("qspline",) * (1 + max(spec.hidden_layers - 2, 0)),
+    _canon_mscale1)
+
 mscale_repin_step = _make_real_step(
     lambda spec: ("qspline",) * _n_act_layers(spec),
     lambda p, spec: _canon_uniform(p, spec, "qspline", spec.scale,
