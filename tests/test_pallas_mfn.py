@@ -1,0 +1,99 @@
+"""One-pass fused MFN train-step kernel (ops/pallas/mfn_step.py) vs
+autodiff of the jnp MFN path, interpret mode on CPU."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wire_tpu.nn import get_inr
+from wire_tpu.ops.pallas.mfn_step import mfn_step_fused
+
+
+def _setup(n=700, hf=128, layers=2, out=3, seed=0):
+    model = get_inr("mfn", in_features=2, out_features=out,
+                    hidden_features=hf, hidden_layers=layers)
+    params = model.init(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (n, out)).astype(np.float32))
+    return model, params, coords, target
+
+
+def _ref_step(model, params, coords, target, nvalid=None, denom=None):
+    from wire_tpu.nn.models import mfn_apply
+    spec = dataclasses.replace(model.spec, fused="never")
+    n, c = target.shape
+    dn = float(n * c) if denom is None else denom
+
+    def loss_fn(p):
+        pred = mfn_apply(p, coords, spec)
+        err = pred - target
+        if nvalid is not None:
+            err = err * (jnp.arange(n)[:, None] < nvalid)
+        return jnp.sum(err * err) / dn, pred
+
+    (_, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return pred, grads
+
+
+def _assert_tree_close(got, want, rtol=3e-4, atol=2e-6):
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(want)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(got)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=rtol,
+                                   atol=atol, err_msg=str(ka))
+
+
+@pytest.mark.parametrize("n,hf,layers,out",
+                         [(700, 128, 2, 3), (512, 64, 1, 1),
+                          (300, 256, 3, 3)])
+def test_mfn_step_matches_autodiff(n, hf, layers, out):
+    model, params, coords, target = _setup(n, hf, layers, out)
+    pred_ref, g_ref = _ref_step(model, params, coords, target)
+    pred, g = mfn_step_fused(params, coords, target, model.spec,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-4, atol=1e-5)
+    _assert_tree_close(g, g_ref)
+
+
+def test_mfn_step_masks_tail_sentinels():
+    model, params, coords, target = _setup(600, 128, 2, 3)
+    nvalid, denom = 450, 450 * 3.0
+    _, g_ref = _ref_step(model, params, coords, target, nvalid=nvalid,
+                         denom=denom)
+    _, g = mfn_step_fused(params, coords, target, model.spec,
+                          nvalid=nvalid, denom=denom, interpret=True)
+    _assert_tree_close(g, g_ref)
+
+
+def test_mfn_step_metric_sums():
+    model, params, coords, target = _setup(300, 64, 1, 3)
+    gt = target + 0.25
+    pred, g, (sse_t, sse_g) = mfn_step_fused(
+        params, coords, target, model.spec, gt=gt, want_metrics=True,
+        interpret=True)
+    pred = np.asarray(pred)
+    np.testing.assert_allclose(float(sse_t),
+                               np.sum((pred - np.asarray(target)) ** 2),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(sse_g),
+                               np.sum((pred - np.asarray(gt)) ** 2),
+                               rtol=1e-4)
+
+
+def test_mfn_trains_through_step_grads():
+    from wire_tpu.signals import coords as C, image as I
+    from wire_tpu.train.trainer import FitConfig, fit_pointwise
+    H = W = 24
+    im = I.synthetic_image(H, W, 3, seed=0)
+    model = get_inr("mfn", in_features=2, out_features=3,
+                    hidden_features=64, hidden_layers=1, fused="always")
+    params = model.init(jax.random.key(0))
+    cfg = FitConfig(learning_rate=1e-2, niters=30, maxpoints=H * W)
+    res = fit_pointwise(model, params, C.grid2d(H, W), im.reshape(-1, 3),
+                        cfg, gt=im.reshape(-1, 3), donate=False)
+    assert res.mse_gt[-1] < res.mse_gt[0] * 0.7

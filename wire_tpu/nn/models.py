@@ -543,6 +543,21 @@ def mfn_apply(params, coords, spec: INRSpec):
     return linear(params["final"], z)
 
 
+def mfn_step(params, coords, target, spec: INRSpec, *, nvalid=None,
+             denom=None, gt=None, want_metrics=False):
+    """Dispatch to the one-pass fused MFN train-step kernel
+    (ops/pallas/mfn_step.py) when the fused path applies."""
+    if spec.fused != "never" and spec.dtype == jnp.float32:
+        on_tpu = jax.default_backend() == "tpu"
+        if spec.fused == "always" or on_tpu:
+            from wire_tpu.ops.pallas.mfn_step import mfn_step_fused
+            return mfn_step_fused(params, coords, target, spec,
+                                  nvalid=nvalid, denom=denom, gt=gt,
+                                  want_metrics=want_metrics,
+                                  interpret=not on_tpu)
+    return None
+
+
 # ===========================================================================
 # B-spline families (modules/bspline_*.py)
 # ===========================================================================

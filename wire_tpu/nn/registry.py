@@ -41,6 +41,7 @@ MODEL_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
 STEP_REGISTRY: Dict[str, Callable] = {
     "wire": M.wire_step,
     "wire2d": M.wire2d_step,
+    "mfn": M.mfn_step,
     "siren": M.siren_step,
     "gauss": M.gauss_step,
     "relu": M.relu_step,
