@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
-from wire_tpu.operators import radon as R
+import importlib
+R = importlib.import_module('wire_tpu.operators.radon')
 
 
 def time_scan(fn, x, K, reps=3):
