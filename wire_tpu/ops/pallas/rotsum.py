@@ -18,12 +18,14 @@ without materializing any rotated image.  Structure:
   rotation by 90 k permutes pixels), applied on the XLA side into a stack
   of zero-padded (P, P) variant planes that sit VMEM-resident.  The
   residual |sin phi| <= 0.707 bounds the kernel's block spans.
-- grid = (angle, x-tile of 128); each step loops over the S integration
-  rows t.  The 128 samples of one (t, x-tile) lie on a line segment
-  spanning <= 0.707*127 rows and <= 127 cols of the plane, so the step
-  dynamic-slices one (BR, BC) = (104, 256) block and applies the bilinear
-  weights as a one-hot MXU contraction (cols) + select-lanes multiply
-  (rows), exactly like ops/pallas/line_sample.py does in the spectrum.
+- grid = (angle, x-tile of 128, as two 64-wide subtiles); each subtile
+  loops over the integration rows in chunks of 8: the 512 samples of one
+  (8-row, 64-column) chunk span <= 0.707*63+7 rows and <= 63+5 cols of
+  the plane, so each iteration dynamic-slices one (BR, BC) = (64, 256)
+  block and applies the bilinear weights as a one-hot MXU contraction
+  (cols) + select-lanes multiply (rows) for all 512 samples at once —
+  the kernel is VPU-bound on selector construction, so samples per
+  selector build is the number that matters (PERF.md round 3).
 - the adjoint kernel runs the same selection transposed, accumulating
   read-modify-write into the variant planes under a sequential grid; the
   XLA side folds the planes back with the inverse rot90s.  Both directions
@@ -44,9 +46,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_X = 128   # output columns per grid step (lane width)
-BR = 104       # block rows: 0.707*127 span + taps + 8-align slack
-BC = 256       # block cols: 127 span + taps + 128-align slack (exact fit)
+TILE_X = 128   # output columns per grid step (two 64-wide subtiles)
+SUB_X = 64     # columns per subtile (block-span unit)
+CHUNK_T = 8    # integration rows per selector build
+LANES = SUB_X * CHUNK_T   # 512 samples per one-hot build/matmul
+BR = 64        # block rows: 0.707*63 + 7 + taps + 8-align slack
+BC = 256       # block cols: 63 + 0.707*7 + taps + 128-align slack
 
 
 def _plane_size(S):
@@ -59,22 +64,21 @@ def _plane_size(S):
 
 
 def _selectors(sy, sx, rs, cs, br, bc):
-    """One-hot bilinear selection matrices for one t-row of samples.
+    """One-hot bilinear selection matrices for a chunk of samples.
 
     sy, sx: (N,) float plane coords.  Returns rowsel (br, N), colsel
-    (bc, N); per-sample the two taps' weights sum to 1."""
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0)[None, :]
-    wx = (sx - x0)[None, :]
-    ly = (y0.astype(jnp.int32) - rs)[None, :]
-    lx = (x0.astype(jnp.int32) - cs)[None, :]
-    iy = jax.lax.broadcasted_iota(jnp.int32, (br, sy.shape[0]), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (bc, sy.shape[0]), 0)
-    rowsel = (jnp.where(iy == ly, 1.0 - wy, 0.0)
-              + jnp.where(iy == ly + 1, wy, 0.0))
-    colsel = (jnp.where(ix == lx, 1.0 - wx, 0.0)
-              + jnp.where(ix == lx + 1, wx, 0.0))
+    (bc, N).  Built arithmetically as the linear hat max(0, 1 - |i - u|),
+    which equals the two-tap floor/ceil weights exactly and costs ~3 VPU
+    ops/entry vs ~5 for the compare/select form — the kernel is VPU-bound
+    on exactly this construction (PERF.md round 3)."""
+    uy = (sy - rs.astype(jnp.float32))[None, :]
+    ux = (sx - cs.astype(jnp.float32))[None, :]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (br, sy.shape[0]), 0).astype(
+        jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (bc, sy.shape[0]), 0).astype(
+        jnp.float32)
+    rowsel = jnp.maximum(0.0, 1.0 - jnp.abs(iy - uy))
+    colsel = jnp.maximum(0.0, 1.0 - jnp.abs(ix - ux))
     return rowsel, colsel
 
 
@@ -105,21 +109,38 @@ def _fwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, var_ref, out_ref):
     kv = kidx_ref[a]
     c = (S - 1) / 2.0
     off = (P - S) // 2
-    xs0 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_X), 1)[0].astype(
-        jnp.float32)      # int iota: Mosaic has no float iota
-    # clamp pad lanes (x >= S) onto the last column; their output is cropped
-    xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]
+    tloc = (lane // SUB_X).astype(jnp.float32)
+    xloc = (lane % SUB_X).astype(jnp.float32)
+    n_chunks = -(-S // CHUNK_T)
+    # fold matrix: out column x accumulates its CHUNK_T sample copies
+    fold = (jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB_X), 0)
+            % SUB_X
+            == jax.lax.broadcasted_iota(jnp.int32, (LANES, SUB_X), 1)
+            ).astype(jnp.float32)
 
-    def body(t, acc):
-        sy, sx = _positions(cphi, sphi, xs, t.astype(jnp.float32), c, off)
-        rs, cs = _block_starts(sy, sx, P)
-        rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
-        blk = var_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)]
-        prod = jnp.dot(blk, colsel, preferred_element_type=jnp.float32)
-        return acc + jnp.sum(prod * rowsel, axis=0)
+    halves = []
+    for sub in range(TILE_X // SUB_X):
+        # clamp pad lanes (x >= S) onto the last column; output is cropped
+        xs = jnp.minimum(xloc + xt * TILE_X + sub * SUB_X, S - 1.0)
 
-    out_ref[0, 0, :] = jax.lax.fori_loop(0, S, body,
-                                         jnp.zeros((TILE_X,), jnp.float32))
+        def body(tc, acc, xs=xs):
+            traw = tc * CHUNK_T + tloc
+            t = jnp.minimum(traw, S - 1.0)
+            tlive = (traw <= S - 1.0).astype(jnp.float32)
+            sy, sx = _positions(cphi, sphi, xs, t, c, off)
+            rs, cs = _block_starts(sy, sx, P)
+            rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+            blk = var_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)]
+            prod = jnp.dot(blk, colsel,
+                           preferred_element_type=jnp.float32)
+            return acc + tlive * jnp.sum(prod * rowsel, axis=0)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros((LANES,), jnp.float32))
+        halves.append(jnp.dot(acc[None, :], fold,
+                              preferred_element_type=jnp.float32)[0])
+    out_ref[0, 0, :] = jnp.concatenate(halves, axis=-1)
 
 
 def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
@@ -136,25 +157,44 @@ def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
     kv = kidx_ref[a]
     c = (S - 1) / 2.0
     off = (P - S) // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)[0]
+    tloc = (lane // SUB_X).astype(jnp.float32)
+    xloc = (lane % SUB_X).astype(jnp.float32)
+    n_chunks = -(-S // CHUNK_T)
     xs0 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_X), 1)[0].astype(
         jnp.float32)
-    xs = jnp.minimum(xs0 + xt * TILE_X, S - 1.0)
     # pad lanes alias the last column; zero their cotangent instead
     valid = (xs0 + xt * TILE_X <= S - 1.0).astype(jnp.float32)
-    cot = cot_ref[0, 0, :] * valid
+    cot_t = cot_ref[0, 0, :] * valid
 
-    def body(t, _):
-        sy, sx = _positions(cphi, sphi, xs, t.astype(jnp.float32), c, off)
-        rs, cs = _block_starts(sy, sx, P)
-        rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
-        # adjoint of out[n] = sum_{r,c} blk[r,c] colsel[c,n] rowsel[r,n]
-        tmp = rowsel * cot[None, :]                       # (BR, N)
-        add = jax.lax.dot_general(tmp, colsel, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        oplanes_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)] += add
-        return 0
+    for sub in range(TILE_X // SUB_X):
+        xs = jnp.minimum(xloc + xt * TILE_X + sub * SUB_X, S - 1.0)
+        # expand matrix: cot column sub*SUB_X + (n % SUB_X) to sample lane
+        # n — selection by matmul (a 64-offset lane slice lowers to an
+        # unsupported gather in Mosaic)
+        expand = (jax.lax.broadcasted_iota(jnp.int32, (TILE_X, LANES), 0)
+                  == sub * SUB_X
+                  + jax.lax.broadcasted_iota(jnp.int32, (TILE_X, LANES), 1)
+                  % SUB_X).astype(jnp.float32)
+        cot512 = jnp.dot(cot_t[None, :], expand,
+                         preferred_element_type=jnp.float32)[0]
 
-    jax.lax.fori_loop(0, S, body, 0)
+        def body(tc, _, xs=xs, cot512=cot512):
+            traw = tc * CHUNK_T + tloc
+            t = jnp.minimum(traw, S - 1.0)
+            tlive = (traw <= S - 1.0).astype(jnp.float32)
+            sy, sx = _positions(cphi, sphi, xs, t, c, off)
+            rs, cs = _block_starts(sy, sx, P)
+            rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+            # adjoint of out[n] = sum_{r,c} blk[r,c] colsel[c,n] rowsel[r,n]
+            tmp = rowsel * (tlive * cot512)[None, :]          # (BR, N)
+            add = jax.lax.dot_general(tmp, colsel,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            oplanes_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)] += add
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 @functools.lru_cache(maxsize=8)
