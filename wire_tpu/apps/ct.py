@@ -23,7 +23,8 @@ from wire_tpu.apps import common
 
 
 def run(config_name, *, image=None, results_dir="results", seed=0,
-        nmeas=100, reference_compat=False, mesh=None):
+        nmeas=100, reference_compat=False, mesh=None,
+        radon_method="auto"):
     cfg = get_config(config_name)
     A.log(f"Starting CT experiment ({config_name})")
 
@@ -38,7 +39,8 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
     thetas = np.linspace(0, 180, nmeas, dtype=np.float32)
     # jit: eager complex FFT ops are unimplemented on some TPU backends
     sinogram = np.asarray(jax.jit(
-        lambda x: radon(x, jnp.asarray(thetas)))(jnp.asarray(img)))
+        lambda x: radon(x, jnp.asarray(thetas),
+                        method=radon_method))(jnp.asarray(img)))
     rng = np.random.RandomState(seed)
     if cfg.added_noise:
         sinogram = N.measure_np(sinogram, cfg.noise_snr, cfg.tau,
@@ -56,7 +58,12 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
     fit_cfg = FitConfig(learning_rate=cfg.learning_rate, niters=cfg.niters,
                         maxpoints=cfg.maxpoints, seed=seed)
     jthetas = jnp.asarray(thetas)
-    op = RadonOp(jthetas)
+    # radon_method='rotate' selects the reference-exact bilinear-rotate
+    # semantics (Pallas rotate-project kernel on TPU) — use it when a
+    # sinogram's provenance is the kornia operator or real measurements of
+    # known rotate-model geometry; 'auto' (default) is the self-consistent
+    # fast protocol exactly like the reference's (wire_ct.py:100-106).
+    op = RadonOp(jthetas, method=radon_method)
     if mesh is not None:
         from wire_tpu.dist import fit_operator_sharded
         res = fit_operator_sharded(model, params, coords, sinogram, op,
@@ -94,10 +101,16 @@ def run(config_name, *, image=None, results_dir="results", seed=0,
 
 def main(argv=None):
     p = common.base_parser(__doc__)
+    p.add_argument("--radon_method", default="auto",
+                   choices=["auto", "rotate", "rotate_xla", "fourier",
+                            "shear"],
+                   help="'rotate' = reference-exact bilinear semantics "
+                        "(Pallas kernel on TPU); 'auto' = fast "
+                        "self-consistent protocol")
     a = p.parse_args(argv)
     run(a.config_name, image=a.image, results_dir=a.results_dir,
         seed=a.seed, reference_compat=a.reference_compat,
-        mesh=common.mesh_from_arg(a.mesh))
+        mesh=common.mesh_from_arg(a.mesh), radon_method=a.radon_method)
 
 
 if __name__ == "__main__":
