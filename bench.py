@@ -92,14 +92,17 @@ def main():
     rec = res.best_rec.reshape(H, W, 3)
     # reference PSNR formula (utils.py:67-82), on host
     psnr = float(10.0 * np.log10(im.max() / np.mean((im - rec) ** 2)))
-    # quality floor (VERDICT r2 weak #4): a numerics regression in the fused
-    # step kernel must fail the bench, not ship a fast wrong number.  The
-    # synthetic-target fit lands at ~25.5 dB (PERF.md); 24 dB is ~1.5 dB of
-    # slack over tunnel-session drift.
-    assert psnr > 24.0, f"bench PSNR floor violated: {psnr:.2f} dB <= 24"
     print(f"backend={jax.default_backend()} wall={wall:.2f}s "
           f"(setup+warmup {setup_s:.1f}s) epochs={niters} "
           f"psnr_vs_clean={psnr:.2f}dB", file=sys.stderr)
+    # quality floor (VERDICT r2 weak #4): a numerics regression in the fused
+    # step kernel must fail the bench, not ship a fast wrong number.  The
+    # synthetic-target fit lands at ~25.5 dB (PERF.md); 24 dB is ~1.5 dB of
+    # slack over tunnel-session drift.  Explicit raise (not assert): the
+    # guard must survive python -O, and the perf line above prints first so
+    # a failure still reports its context.
+    if not psnr > 24.0:
+        raise SystemExit(f"bench PSNR floor violated: {psnr:.2f} dB <= 24")
     print(json.dumps({
         "metric": "wire300_denoise_train_coords_per_s",
         "value": round(coords_per_s, 1),

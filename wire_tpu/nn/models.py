@@ -217,20 +217,33 @@ def wire_apply(params, coords, spec: INRSpec):
     return yr  # output.real (wire.py:164-165)
 
 
-def wire_step(params, coords, target, spec: INRSpec, *, nvalid=None,
-              denom=None, gt=None, want_metrics=False):
-    """Dispatch to the one-pass fused train-step kernel
-    (ops/pallas/wire_step.py) when the fused path applies; returns None
-    otherwise so INR.step_grads falls back to autodiff of wire_apply."""
-    if spec.fused != "never" and spec.dtype == jnp.float32:
-        on_tpu = jax.default_backend() == "tpu"
-        if spec.fused == "always" or on_tpu:
-            from wire_tpu.ops.pallas.wire_step import wire_step_fused
-            return wire_step_fused(params, coords, target, spec,
-                                   nvalid=nvalid, denom=denom, gt=gt,
-                                   want_metrics=want_metrics,
-                                   interpret=not on_tpu)
-    return None
+def _complex_step_dispatch(import_fused, doc):
+    """Shared fused-dispatch gate for the hand-written step kernels (wire /
+    wire2d / mfn): fused enabled, f32, on TPU (or fused='always' ->
+    interpret mode off-TPU).  Returns None so INR.step_grads falls back to
+    autodiff when the gate fails."""
+    def step(params, coords, target, spec, *, nvalid=None, denom=None,
+             gt=None, want_metrics=False):
+        if spec.fused != "never" and spec.dtype == jnp.float32:
+            on_tpu = jax.default_backend() == "tpu"
+            if spec.fused == "always" or on_tpu:
+                fused = import_fused()
+                return fused(params, coords, target, spec, nvalid=nvalid,
+                             denom=denom, gt=gt, want_metrics=want_metrics,
+                             interpret=not on_tpu)
+        return None
+    step.__doc__ = doc
+    return step
+
+
+def _import_wire_step():
+    from wire_tpu.ops.pallas.wire_step import wire_step_fused
+    return wire_step_fused
+
+
+wire_step = _complex_step_dispatch(
+    _import_wire_step,
+    "One-pass fused WIRE train-step dispatch (ops/pallas/wire_step.py).")
 
 
 # ===========================================================================
@@ -274,19 +287,15 @@ def wire2d_apply(params, coords, spec: INRSpec):
     return yr
 
 
-def wire2d_step(params, coords, target, spec: INRSpec, *, nvalid=None,
-                denom=None, gt=None, want_metrics=False):
-    """Dispatch to the one-pass fused wire2d train-step kernel
-    (ops/pallas/wire2d_step.py) when the fused path applies."""
-    if spec.fused != "never" and spec.dtype == jnp.float32:
-        on_tpu = jax.default_backend() == "tpu"
-        if spec.fused == "always" or on_tpu:
-            from wire_tpu.ops.pallas.wire2d_step import wire2d_step_fused
-            return wire2d_step_fused(params, coords, target, spec,
-                                     nvalid=nvalid, denom=denom, gt=gt,
-                                     want_metrics=want_metrics,
-                                     interpret=not on_tpu)
-    return None
+def _import_wire2d_step():
+    from wire_tpu.ops.pallas.wire2d_step import wire2d_step_fused
+    return wire2d_step_fused
+
+
+wire2d_step = _complex_step_dispatch(
+    _import_wire2d_step,
+    "One-pass fused wire2d train-step dispatch "
+    "(ops/pallas/wire2d_step.py).")
 
 
 # ---------------------------------------------------------------------------
@@ -543,19 +552,15 @@ def mfn_apply(params, coords, spec: INRSpec):
     return linear(params["final"], z)
 
 
-def mfn_step(params, coords, target, spec: INRSpec, *, nvalid=None,
-             denom=None, gt=None, want_metrics=False):
-    """Dispatch to the one-pass fused MFN train-step kernel
-    (ops/pallas/mfn_step.py) when the fused path applies."""
-    if spec.fused != "never" and spec.dtype == jnp.float32:
-        on_tpu = jax.default_backend() == "tpu"
-        if spec.fused == "always" or on_tpu:
-            from wire_tpu.ops.pallas.mfn_step import mfn_step_fused
-            return mfn_step_fused(params, coords, target, spec,
-                                  nvalid=nvalid, denom=denom, gt=gt,
-                                  want_metrics=want_metrics,
-                                  interpret=not on_tpu)
-    return None
+def _import_mfn_step():
+    from wire_tpu.ops.pallas.mfn_step import mfn_step_fused
+    return mfn_step_fused
+
+
+mfn_step = _complex_step_dispatch(
+    _import_mfn_step,
+    "One-pass fused Gabor-MFN train-step dispatch "
+    "(ops/pallas/mfn_step.py).")
 
 
 # ===========================================================================

@@ -1,9 +1,14 @@
-"""Differentiable Radon transform, two implementations:
+"""Differentiable Radon transform:
 
-- ``method='rotate'``: exact reproduction of the reference operator
+- ``method='rotate'``: the reference operator's semantics
   (lin_inverse.py:19-40): per-angle bilinear rotation (kornia/OpenCV
-  convention, zero padding) then row sum.  Gather-based — precise, fast on
-  CPU, but TPU gathers make it ~2.7ms/angle.
+  convention, zero padding) then row sum.  On TPU (square images) this
+  resolves to ``rotate_pallas`` — the rotate-project kernel
+  (ops/pallas/rotsum.py), same line integrals with bf16 one-hot MXU
+  contractions (~7e-4 rel-L2 from the f32 oracle, angles treated as
+  constants in the backward); elsewhere to ``rotate_xla``, the strict-f32
+  XLA gather oracle (precise but ~2.7 ms/angle on TPU).  Pass
+  ``rotate_xla`` explicitly when asserting tight f32 parity.
 
 - ``method='fourier'`` (default on TPU for >=24 angles): projection-slice
   theorem — one oversampled 2D FFT of the image, bilinear sampling of the

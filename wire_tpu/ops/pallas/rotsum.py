@@ -269,7 +269,10 @@ def rotate_project(img, angles_degrees, interpret=False):
     """(S, S) image, (A,) angles in degrees -> (A, S) sinogram, exactly
     the reference operator ``sum_y rotate(img, angle)[y]``
     (lin_inverse.py:19-40 semantics).  Differentiable in ``img`` via the
-    fused adjoint kernel."""
+    fused adjoint kernel; the ANGLES are treated as constants (their
+    cotangent is zero — matching the reference protocol, which never
+    optimizes projection angles; use method='rotate_xla' if an angle
+    gradient is ever needed)."""
     out, _ = _rp_fwd(img, angles_degrees, interpret)
     return out
 

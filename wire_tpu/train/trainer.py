@@ -119,10 +119,18 @@ def _digest_value(h, a):
     if callable(a) and not hasattr(a, "shape") and not hasattr(a, "spec") \
             and getattr(a, "__closure__", "no") != "no":
         # plain functions/lambdas (e.g. an epoch_metric): identify by
-        # qualname + closure cell values so a resume with a changed metric
-        # (different threshold, different function) is refused rather than
-        # silently mixing incompatible 'extra' histories (ADVICE r2)
+        # qualname + BYTECODE + consts + closure cell values so a resume
+        # with a changed metric (edited body, different inline threshold,
+        # different closure) is refused rather than silently mixing
+        # incompatible 'extra' histories (ADVICE r2 + r3 review)
         h.update(getattr(a, "__qualname__", repr(type(a))).encode())
+        code = getattr(a, "__code__", None)
+        if code is not None:
+            h.update(code.co_code)
+            for const in code.co_consts:
+                if isinstance(const, (int, float, str, bool, bytes,
+                                      type(None))):
+                    h.update(repr(const).encode())
         for cell in (a.__closure__ or ()):
             try:
                 _digest_value(h, cell.cell_contents)
@@ -597,11 +605,20 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
         import inspect
         try:
             sig = inspect.signature(epoch_metric)
-            required = [
-                p for p in sig.parameters.values()
-                if p.default is inspect.Parameter.empty
-                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            pos = [p for p in sig.parameters.values()
+                   if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            required = [p for p in pos
+                        if p.default is inspect.Parameter.empty]
             _em_two_args = len(required) >= 2
+            if not _em_two_args and len(pos) >= 2:
+                # e.g. `lambda rec, thres=0.5`: the optional second param
+                # is NOT bound to the fitting target (it used to be) —
+                # say so instead of silently changing behavior
+                from wire_tpu.train.artifacts import log
+                log("NOTE: epoch_metric has an optional second parameter; "
+                    "it keeps its default (the fitting target is passed "
+                    "only to metrics with TWO required positional "
+                    "parameters).")
         except (ValueError, TypeError):
             _em_two_args = False
 
