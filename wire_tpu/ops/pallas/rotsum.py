@@ -19,11 +19,11 @@ without materializing any rotated image.  Structure:
   of zero-padded (P, P) variant planes that sit VMEM-resident.  The
   residual |sin phi| <= 0.707 bounds the kernel's block spans.
 - grid = (angle, x-tile of 128, as two 64-wide subtiles); each subtile
-  loops over the integration rows in chunks of 8: the 512 samples of one
-  (8-row, 64-column) chunk span <= 0.707*63+7 rows and <= 63+5 cols of
-  the plane, so each iteration dynamic-slices one (BR, BC) = (64, 256)
+  loops over the integration rows in chunks of 32: the 2048 samples of
+  one (32-row, 64-column) chunk span <= 67 rows and <= 72 cols of the
+  plane, so each iteration dynamic-slices one (BR, BC) = (88, 256)
   block and applies the bilinear weights as a one-hot MXU contraction
-  (cols) + select-lanes multiply (rows) for all 512 samples at once —
+  (cols) + select-lanes multiply (rows) for all 2048 samples at once —
   the kernel is VPU-bound on selector construction, so samples per
   selector build is the number that matters (PERF.md round 3).
 - the adjoint kernel runs the same selection transposed, accumulating
@@ -48,10 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_X = 128   # output columns per grid step (two 64-wide subtiles)
 SUB_X = 64     # columns per subtile (block-span unit)
-CHUNK_T = 8    # integration rows per selector build
-LANES = SUB_X * CHUNK_T   # 512 samples per one-hot build/matmul
-BR = 64        # block rows: 0.707*63 + 7 + taps + 8-align slack
-BC = 256       # block cols: 63 + 0.707*7 + taps + 128-align slack
+CHUNK_T = 32   # integration rows per selector build (swept on v5e:
+               # 4/8/16/32/64/128 -> 72/44/32/26.7/27.3/37 ms fwd+bwd at
+               # 512^2 x 100 angles — loop/slice amortization beats the
+               # slightly larger per-sample selector area up to 32)
+LANES = SUB_X * CHUNK_T   # samples per one-hot build/matmul
+BR = 88        # block rows: max(63 sin + 31 cos) + taps + 8-align slack
+BC = 256       # block cols: 63 + 0.707*31 + taps + 128-align slack
 
 
 def _plane_size(S):
