@@ -189,3 +189,36 @@ def test_mscale1_step_matches_autodiff():
             sorted(jax.tree_util.tree_flatten_with_path(g_ref)[0], key=str)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=1e-6, err_msg=str(kp))
+
+
+def test_knots_step_matches_autodiff():
+    """bspline_knots trains through the shared step kernel: the De Boor
+    basis on the family's fixed knot vector IS the quadratic-spline bump
+    (alpha=1, beta=b canon)."""
+    import dataclasses
+    from wire_tpu.nn import get_inr
+    from wire_tpu.nn.models import bspline_knots_apply, bspline_knots_step
+
+    model = get_inr("bspline_knots", in_features=2, out_features=3,
+                    hidden_features=64, hidden_layers=2, fused="always")
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.uniform(-1, 1, (300, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (300, 3)).astype(np.float32))
+    spec_ref = dataclasses.replace(model.spec, fused="never")
+
+    def loss_fn(p):
+        pred = bspline_knots_apply(p, coords, spec_ref)
+        return jnp.mean((pred - target) ** 2), pred
+
+    (_, pred_ref), g_ref = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    out = bspline_knots_step(params, coords, target, model.spec)
+    assert out is not None
+    pred, g = out
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-4, atol=1e-5)
+    for (kp, a), (_, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(g)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(g_ref)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6, err_msg=str(kp))

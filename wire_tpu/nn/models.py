@@ -1118,6 +1118,17 @@ bspline_cubic_step = _make_real_step(
     lambda p, spec: _canon_uniform(p, spec, "cspline", spec.scale,
                                    lambda b: b))
 
+# bspline_knots: the De Boor recursion on the fixed knot vector
+# (-1.5,-1.5,-1.5,-0.5,0.5,1.5,1.5,1.5) at degree 2 evaluates to exactly
+# the quadratic B-spline bump ((z+1.5)^2/2, 0.75-z^2, (1.5-z)^2/2 on its
+# three pieces, 0 outside) — the same function as the 'qspline' basis, so
+# the family trains through the shared step kernel with alpha=1, beta=b
+# (no sigma in this family's apply).  Pinned numerically in
+# tests/test_pallas_real.py::test_knots_step_matches_autodiff.
+bspline_knots_step = _make_real_step(
+    lambda spec: ("qspline",) * _n_act_layers(spec),
+    lambda p, spec: _canon_uniform(p, spec, "qspline", 1.0, lambda b: b))
+
 bspline_srelu_step = _make_real_step(
     lambda spec: ("srelu",) * _n_act_layers(spec),
     lambda p, spec: _canon_uniform(p, spec, "srelu", spec.scale,

@@ -49,6 +49,7 @@ STEP_REGISTRY: Dict[str, Callable] = {
     "bspline_form": M.bspline_form_step,
     "bspline_cubic": M.bspline_cubic_step,
     "bspline_srelu": M.bspline_srelu_step,
+    "bspline_knots": M.bspline_knots_step,
     "bspline_mscale_1": M.mscale1_step,
     "bspline_mscale_1_new": M.mscale_repin_step,
     "bspline_mscale_repIN": M.mscale_repin_step,
