@@ -63,7 +63,8 @@ def _iou_metric(thres):
 def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         niters=200, size=64, scale=1.0, maxpoints=int(2e5),
         hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None,
-        scan_segment=None, checkpoint_path=None, checkpoint_every=1):
+        scan_segment=None, checkpoint_path=None, checkpoint_every=1,
+        lr_decay=0.2):
     A.log(f"Running {nonlin} occupancy")
     if volume_mat:
         im = V.load_volume_mat(volume_mat, scale=scale)
@@ -110,8 +111,11 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
     params = model.init(jax.random.key(seed))
     nparams = model.num_params(params)
 
+    # lr_decay=0.2 is the reference schedule (wire_occupancy.py:122);
+    # at 512^3 the long high-LR phase caps IoU at ~0.986 and lr_decay=0.008
+    # reaches 0.9965 (PERF.md round 3, tools/run_occ512_tuned.py)
     fit_cfg = FitConfig(learning_rate=_LR.get(nonlin, 5e-3), niters=niters,
-                        maxpoints=maxpoints, lr_decay=0.2, seed=seed)
+                        maxpoints=maxpoints, lr_decay=lr_decay, seed=seed)
     if scan_segment is not None:
         # big volumes: keep each device program under the remote-backend
         # execution deadline (~1s/epoch at 256^3)
@@ -186,11 +190,14 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0)
+    p.add_argument("--lr_decay", type=float, default=0.2,
+                   help="LR decay factor over niters (reference: 0.2; "
+                        "0.008 sharpens large-volume boundaries, PERF.md)")
     a = p.parse_args(argv)
     from wire_tpu.apps.common import mesh_from_arg
     run(a.nonlin, volume_mat=a.volume_mat, results_dir=a.results_dir,
         niters=a.niters, size=a.size, seed=a.seed,
-        mesh=mesh_from_arg(a.mesh))
+        mesh=mesh_from_arg(a.mesh), lr_decay=a.lr_decay)
 
 
 if __name__ == "__main__":
