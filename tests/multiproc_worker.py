@@ -29,8 +29,10 @@ def main():
 
     import numpy as np
     from wire_tpu.dist import multihost as MH
-    from wire_tpu.dist import fit_pointwise_sharded
+    from wire_tpu.dist import (fit_frames_sharded, fit_operator_sharded,
+                               fit_pointwise_sharded)
     from wire_tpu.nn import get_inr
+    from wire_tpu.operators.forward import DownsampleOp
     from wire_tpu.signals import coords as C, image as I
     from wire_tpu.train.trainer import FitConfig
 
@@ -73,6 +75,37 @@ def main():
                                    track="noisy", donate=False,
                                    global_perm=True)
     out["global_mse"] = np.asarray(res_gp.mse_noisy).tolist()
+
+    # (c) operator-sharded (VERDICT r3 #3): sharded full-grid render +
+    # all_gather + replicated forward operator, crossing DCN
+    op = DownsampleOp(2)
+    meas = np.asarray(
+        op(jax.numpy.asarray(im))).astype(np.float32)
+    cfg_op = FitConfig(learning_rate=5e-3, niters=15, seed=0)
+    res_op = fit_operator_sharded(
+        model, model.init(jax.random.key(0)), spec.materialize(), meas, op,
+        cfg_op, mesh, gt_field=im, field_shape=(H, W, 3), track="gt",
+        donate=False)
+    out["operator_mse"] = np.asarray(res_op.mse_noisy).tolist()
+    out["operator_tracked"] = np.asarray(res_op.mse_gt).tolist()
+
+    # (d) frames-sharded (VERDICT r3 #3): per-step frame batch split over
+    # the process-spanning mesh, masked psum partial sums across DCN
+    rng = np.random.RandomState(0)
+    scale, nframes, bs = 2, 10, 8
+    base = np.asarray(spec.materialize())
+    frame_coords = np.stack([
+        np.clip(base + rng.uniform(-0.05, 0.05, size=(1, 2)), -1, 1)
+        for _ in range(nframes)]).astype(np.float32)
+    frame_pixels = rng.rand(
+        nframes, (H // scale) * (W // scale), 3).astype(np.float32)
+    frame_masks = (rng.rand(*frame_pixels.shape) > 0.1).astype(np.float32)
+    cfg_fr = FitConfig(learning_rate=5e-3, niters=6, lr_decay=1.0, seed=0)
+    res_fr = fit_frames_sharded(
+        model, model.init(jax.random.key(0)), frame_coords, frame_pixels,
+        frame_masks, cfg_fr, mesh, hr_shape=(H, W, 3), scale=scale,
+        batch_size=bs, donate=False)
+    out["frames_mse"] = np.asarray(res_fr.mse_noisy).tolist()
 
     if pid == 0:
         tmp = outfile + ".tmp"

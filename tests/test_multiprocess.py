@@ -87,3 +87,65 @@ def test_trajectories_match_single_process(cluster_result):
     np.testing.assert_allclose(np.asarray(res_gp.mse_noisy),
                                np.asarray(cluster_result["global_mse"]),
                                rtol=2e-4, atol=1e-7)
+
+
+def test_operator_fitter_matches_across_processes(cluster_result):
+    """VERDICT r3 #3: fit_operator_sharded executed on the 2-process
+    cluster (all_gather + pmean across DCN) reproduces the single-process
+    8-device trajectory."""
+    from wire_tpu.dist import fit_operator_sharded
+    from wire_tpu.operators.forward import DownsampleOp
+    import jax.numpy as jnp
+
+    H = W = 32
+    spec = C.GridSpec(H, W)
+    im = I.synthetic_image(H, W, 3, seed=0)
+    mesh = make_mesh(8)
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=32, hidden_layers=2, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=4.0)
+    op = DownsampleOp(2)
+    meas = np.asarray(op(jnp.asarray(im))).astype(np.float32)
+    cfg = FitConfig(learning_rate=5e-3, niters=15, seed=0)
+    res = fit_operator_sharded(model, model.init(jax.random.key(0)),
+                               spec.materialize(), meas, op, cfg, mesh,
+                               gt_field=im, field_shape=(H, W, 3),
+                               track="gt", donate=False)
+    np.testing.assert_allclose(np.asarray(res.mse_noisy),
+                               np.asarray(cluster_result["operator_mse"]),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(res.mse_gt),
+        np.asarray(cluster_result["operator_tracked"]),
+        rtol=2e-4, atol=1e-7)
+
+
+def test_frames_fitter_matches_across_processes(cluster_result):
+    """VERDICT r3 #3: fit_frames_sharded executed on the 2-process cluster
+    (masked psum partial sums across DCN) reproduces the single-process
+    8-device trajectory."""
+    from wire_tpu.dist import fit_frames_sharded
+
+    H = W = 32
+    spec = C.GridSpec(H, W)
+    rng = np.random.RandomState(0)
+    scale, nframes, bs = 2, 10, 8
+    base = np.asarray(spec.materialize())
+    frame_coords = np.stack([
+        np.clip(base + rng.uniform(-0.05, 0.05, size=(1, 2)), -1, 1)
+        for _ in range(nframes)]).astype(np.float32)
+    frame_pixels = rng.rand(
+        nframes, (H // scale) * (W // scale), 3).astype(np.float32)
+    frame_masks = (rng.rand(*frame_pixels.shape) > 0.1).astype(np.float32)
+    mesh = make_mesh(8)
+    model = get_inr("wire", in_features=2, out_features=3,
+                    hidden_features=32, hidden_layers=2, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=4.0)
+    cfg = FitConfig(learning_rate=5e-3, niters=6, lr_decay=1.0, seed=0)
+    res = fit_frames_sharded(model, model.init(jax.random.key(0)),
+                             frame_coords, frame_pixels, frame_masks, cfg,
+                             mesh, hr_shape=(H, W, 3), scale=scale,
+                             batch_size=bs, donate=False)
+    np.testing.assert_allclose(np.asarray(res.mse_noisy),
+                               np.asarray(cluster_result["frames_mse"]),
+                               rtol=2e-4, atol=1e-7)

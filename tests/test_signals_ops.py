@@ -233,3 +233,59 @@ def test_radon_rotate_pallas_route_matches_oracle():
     s_kernel = np.asarray(radon_fn(jnp.asarray(im), angles,
                                    method="rotate_interpret"))
     np.testing.assert_allclose(s_kernel, s_oracle, rtol=2e-5, atol=1e-3)
+
+
+def test_radon_auto_routing_reference_compat():
+    """VERDICT r3 #4: 'auto' routes to the reference-exact rotate operator
+    whenever reference_compat is set (user-supplied / kornia-provenance
+    sinograms lose ~6 dB through a mismatched forward model, PERF.md);
+    fourier stays the TPU default for self-consistent many-angle runs."""
+    from wire_tpu.operators.radon import RadonOp, _resolve_auto
+    assert _resolve_auto("auto", 100, "tpu", False) == "fourier"
+    assert _resolve_auto("auto", 10, "tpu", False) == "shear"
+    assert _resolve_auto("auto", 100, "tpu", True) == "rotate"
+    assert _resolve_auto("auto", 100, "cpu", False) == "rotate"
+    assert _resolve_auto("fourier", 100, "tpu", True) == "fourier"  # explicit
+    # RadonOp identity includes the compat flag (distinct cached programs)
+    a = RadonOp(np.arange(4.0))
+    b = RadonOp(np.arange(4.0), reference_compat=True)
+    assert a != b and hash(a) != hash(b)
+
+
+def test_ct_app_user_supplied_sinogram(tmp_path):
+    """apps/ct --sinogram: loads the external measurement, routes 'auto' to
+    the reference-exact operator, and reconstructs it (VERDICT r3 #4)."""
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from wire_tpu.apps import common, ct
+    from wire_tpu.operators.radon import radon
+    from wire_tpu.signals import image as I
+    from wire_tpu.train import presets
+
+    im = I.synthetic_image(128, 128, 3, seed=0)
+    ipath = str(tmp_path / "img.png")
+    plt.imsave(ipath, im)
+
+    # replicate the app's own preprocessing (load -> green channel ->
+    # normalize -> resize 0.5) to generate a matched external sinogram
+    # with the strict rotate oracle
+    img = common.load_image(ipath, channels=1, seed=0)
+    img = I.normalize(img, True)
+    img = I.resize_area(img, 0.5).astype(np.float32)
+    thetas = jnp.asarray(np.linspace(0, 180, 30, dtype=np.float32))
+    sino = np.asarray(radon(jnp.asarray(img), thetas, method="rotate_xla"))
+    spath = str(tmp_path / "sino.npy")
+    np.save(spath, sino)
+
+    presets.ENTRIES["r4tinyct"] = dict(
+        nonlin="gauss", scale=4.0, scale_tensor=(), learning_rate=2e-3,
+        hidden_features=48, niters=60, maxpoints=64 * 64, added_noise=False)
+    try:
+        out = ct.run("r4tinyct", image=ipath,
+                     results_dir=str(tmp_path / "res"), nmeas=30,
+                     sinogram_path=spath)
+    finally:
+        presets.ENTRIES.pop("r4tinyct", None)
+    assert np.isfinite(out["psnr"]) and out["psnr"] > 10.0

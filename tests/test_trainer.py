@@ -393,3 +393,32 @@ def test_checkpoint_resume_frames_fit(tmp_path, monkeypatch):
     np.testing.assert_array_equal(res.mse_noisy, ref.mse_noisy)
     for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(res.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fingerprint_distinguishes_partials_and_closures():
+    """ADVICE r3 #1: functools.partial epoch metrics with different bound
+    arguments must produce different fit fingerprints (a resume with a
+    changed threshold must be refused), and the digest must be stable for
+    identical inputs."""
+    from functools import partial
+    from wire_tpu.train.trainer import FitConfig, _fit_fingerprint
+
+    def metric(rec, target, thres=0.5):
+        return (rec > thres).mean()
+
+    cfg = FitConfig(niters=3)
+    base = _fit_fingerprint(cfg, "modelspec", partial(metric, thres=0.4))
+    assert base == _fit_fingerprint(cfg, "modelspec",
+                                    partial(metric, thres=0.4))
+    assert base != _fit_fingerprint(cfg, "modelspec",
+                                    partial(metric, thres=0.5))
+    assert base != _fit_fingerprint(cfg, "modelspec", metric)
+
+    def make_closure(t):
+        def m(rec, target):
+            return (rec > t).mean()
+        return m
+
+    c4 = _fit_fingerprint(cfg, "modelspec", make_closure(0.4))
+    assert c4 == _fit_fingerprint(cfg, "modelspec", make_closure(0.4))
+    assert c4 != _fit_fingerprint(cfg, "modelspec", make_closure(0.5))

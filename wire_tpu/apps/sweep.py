@@ -40,14 +40,22 @@ EXPECTED = {
 }
 
 _DENOISE_LR = {"wire": 5e-3, "siren": 2e-3, "mfn": 5e-2, "relu": 1e-3,
-               "posenc": 2e-3, "gauss": 3e-3}
+               "posenc": 2e-3, "gauss": 3e-3}  # wire_image_denoise.py:76-83
+_CT_LR = {"wire": 5e-3, "siren": 2e-3, "mfn": 5e-2, "relu": 1e-3,
+          "posenc": 1e-3, "gauss": 2e-3}       # wire_ct.py:67-76
+_SISR_LR = {"wire": 5e-3, "siren": 2e-3, "mfn": 5e-2, "relu": 1e-3,
+            "posenc": 1e-3, "gauss": 2e-3}     # wire_SISR.py:96-103
 
 
 def _build(nonlin, task, H, W, tau, in_features=2, out_features=3,
-           hidden_features=300, hidden_layers=2):
+           hidden_features=None, hidden_layers=2, posenc_sidelength=None):
     omega0, sigma0 = {
-        "denoise": (7.0, 4.0), "ct": (3.0, 12.0), "sisr": (8.0, 5.0),
-    }[task]
+        "denoise": (7.0, 4.0), "ct": (3.0, 12.0), "sisr": (8.0, 9.0),
+    }[task]  # denoise :41-42, ct :47-49, sisr wire_SISR.py:49-51
+    if hidden_features is None:
+        # wire_image_denoise.py:48 / wire_ct.py:52-53 use 300;
+        # wire_SISR.py:55-56 uses 256
+        hidden_features = 256 if task == "sisr" else 300
     if task == "denoise" and nonlin == "wire":
         sigma0 = 6.0  # wire_image_denoise.py:86
     if task == "ct" and nonlin == "siren":
@@ -57,8 +65,12 @@ def _build(nonlin, task, H, W, tau, in_features=2, out_features=3,
     sidelength = H
     if nonlin == "posenc":
         model_nonlin, pos_encode = "relu", True
-        sidelength = (int(max(H, W) / 3) if (task == "denoise" and tau < 100)
-                      else int(max(H, W)))
+        if posenc_sidelength is not None:
+            sidelength = posenc_sidelength  # ct: nmeas (wire_ct.py:103)
+        else:
+            sidelength = (int(max(H, W) / 3)
+                          if (task == "denoise" and tau < 100)
+                          else int(max(H, W)))
     model = get_inr(model_nonlin, in_features=in_features,
                     out_features=out_features,
                     hidden_features=hidden_features,
@@ -123,9 +135,9 @@ def sweep_ct(image=None, results_dir="results", seed=0, niters=5000,
 
     results = {}
     for nonlin in nonlins:
-        lr = {"wire": 5e-3, "siren": 1e-3, "mfn": 1e-2, "relu": 1e-3,
-              "posenc": 1e-3, "gauss": 2e-3}[nonlin]  # wire_ct.py:64-72
-        model = _build(nonlin, "ct", H, W, tau=1e2, out_features=1)
+        lr = _CT_LR[nonlin]
+        model = _build(nonlin, "ct", H, W, tau=1e2, out_features=1,
+                       posenc_sidelength=nmeas)  # wire_ct.py:103
         params = model.init(jax.random.key(seed))
         cfg = FitConfig(learning_rate=lr, niters=niters, seed=seed)
         res = fit_operator(model, params, coords, sinogram,
@@ -158,8 +170,7 @@ def sweep_sisr(image=None, results_dir="results", seed=0, niters=2000,
 
     results = {}
     for nonlin in nonlins:
-        lr = {"wire": 5e-3, "siren": 1e-3, "mfn": 1e-2, "relu": 1e-3,
-              "posenc": 1e-3, "gauss": 2e-3}[nonlin]
+        lr = _SISR_LR[nonlin]
         model = _build(nonlin, "sisr", H, W, tau=1e2)
         params = model.init(jax.random.key(seed))
         cfg = FitConfig(learning_rate=lr, niters=niters, lr_decay=0.2,

@@ -8,6 +8,8 @@ wire_image_denoise.py:95-101).
 """
 from __future__ import annotations
 
+import math
+import os
 from typing import Callable, Dict, Tuple
 
 from wire_tpu.nn import models as M
@@ -74,6 +76,88 @@ _FAMILY_DEFAULTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# TPU lane-efficiency guidance (VERDICT r3 #6).  The MXU processes GEMMs in
+# 128-lane tiles: a hidden width that is not a multiple of 128 pads to the
+# next multiple and the padded MACs are pure waste.  The reference configs
+# are CUDA-arbitrary (wire2d.py:45-67 etc.); a TPU-first framework should
+# steer users to MXU-shaped widths.
+# ---------------------------------------------------------------------------
+
+_LANE = 128
+
+# family -> effective per-GEMM hidden width as a function of hidden_features
+_HIDDEN_RULE = {
+    # complex params count double; the reference halves by sqrt(2)
+    # (wire.py:119 -> models._wire_hidden)
+    "wire": lambda hf: int(hf / math.sqrt(2)),
+    # wire2d halves by 2 (wire2d.py:92 -> models.wire2d_init)
+    "wire2d": lambda hf: int(hf / 2),
+}
+
+# Lane-native named presets with their measured numbers (PERF.md):
+#  - wire hf=363 -> h=256: ~60% useful-FLOP bf16 MXU peak vs 46.5% at the
+#    reference hf=300 (h=212 pads to 256 lanes), +2.8% step time for 45%
+#    more real parameters (tools/exp_width256.py).
+#  - wire2d hf=256 -> h=128: 1.76 ms/step vs 3.84 ms at the reference
+#    hf=300 (h=150 pads to 256 lanes — 66% of hidden MACs are padding);
+#    fits the full 2000-epoch denoise protocol at the flagship WIRE's
+#    quality in 3.0 s (tools/exp_tilesweep_pipe.py, PERF.md r3).
+LANE_NATIVE = {
+    "wire": dict(hidden_features=363),
+    "wire2d": dict(hidden_features=256),
+}
+
+
+def hidden_gemm_width(nonlin: str, hidden_features: int) -> int:
+    """Effective per-GEMM hidden width (MXU lanes actually used)."""
+    return _HIDDEN_RULE.get(nonlin, lambda hf: hf)(hidden_features)
+
+
+def lane_waste(nonlin: str, hidden_features: int) -> float:
+    """Fraction of hidden-layer MACs that are lane padding: the h-wide GEMM
+    runs on ceil(h/128)*128 lanes, wasting 1 - (h/pad)^2 of the MXU work."""
+    h = hidden_gemm_width(nonlin, hidden_features)
+    pad = -(-h // _LANE) * _LANE
+    return 1.0 - (h / pad) ** 2
+
+
+def lane_native_hidden(nonlin: str, hidden_features: int) -> int:
+    """Smallest hidden_features >= the given one whose effective GEMM width
+    is lane-exact (a multiple of 128).  E.g. wire 300 -> 363 (h=256),
+    wire2d 300 -> 512 (h=256), siren 300 -> 384."""
+    rule = _HIDDEN_RULE.get(nonlin, lambda hf: hf)
+    h = rule(hidden_features)
+    target = -(-h // _LANE) * _LANE
+    hf = hidden_features
+    while rule(hf) < target:
+        hf += 1
+    return hf
+
+
+_WARNED_LANE: set = set()
+
+
+def _maybe_warn_lane(nonlin: str, hidden_features: int):
+    if os.environ.get("WIRE_TPU_NO_LANE_WARN"):
+        return
+    h = hidden_gemm_width(nonlin, hidden_features)
+    if h <= _LANE:          # tiny/test models: the first tile is the floor
+        return
+    waste = lane_waste(nonlin, hidden_features)
+    if waste <= 0.30 or (nonlin, hidden_features) in _WARNED_LANE:
+        return
+    _WARNED_LANE.add((nonlin, hidden_features))
+    from wire_tpu.train.artifacts import log
+    up = lane_native_hidden(nonlin, hidden_features)
+    log(f"note: {nonlin} hidden_features={hidden_features} uses "
+        f"{h} of {-(-h // _LANE) * _LANE} MXU lanes — {waste:.0%} of "
+        f"hidden-layer MACs are lane padding on TPU.  Consider "
+        f"hidden_features={up} (lane-native; see nn.registry.LANE_NATIVE "
+        f"and PERF.md), or pass lane_native=True to get_inr.  Set "
+        f"WIRE_TPU_NO_LANE_WARN=1 to silence.")
+
+
 def get_inr(nonlin: str, **kwargs) -> INR:
     """Build an INR model instance.
 
@@ -92,7 +176,14 @@ def get_inr(nonlin: str, **kwargs) -> INR:
                            ("hidden_omega_0", "hidden_omega0")):
         if ref_name in kwargs:
             kwargs[ours] = kwargs.pop(ref_name)
+    lane_native = kwargs.pop("lane_native", False)
     kw.update(kwargs)
+    if lane_native:
+        hf = kw.get("hidden_features", INRSpec.hidden_features)
+        kw["hidden_features"] = lane_native_hidden(nonlin, hf)
+    else:
+        _maybe_warn_lane(nonlin,
+                         kw.get("hidden_features", INRSpec.hidden_features))
     if nonlin == "posenc":
         kw.setdefault("pos_encode", True)
     if "scale_tensor" in kw and kw["scale_tensor"] is not None:

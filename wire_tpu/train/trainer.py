@@ -116,17 +116,34 @@ def _digest_value(h, a):
         for v in a:
             _digest_value(h, v)
         return
+    if isinstance(a, partial):
+        # functools.partial (e.g. partial(metric, thres=0.4)): digest the
+        # wrapped callable AND the bound args/kwargs — two partials of the
+        # same function with different bound thresholds must not collide
+        # (ADVICE r3 #1)
+        h.update(b"functools.partial")
+        _digest_value(h, a.func)
+        _digest_value(h, tuple(a.args))
+        for k in sorted(a.keywords):
+            h.update(k.encode())
+            _digest_value(h, a.keywords[k])
+        return
     if callable(a) and not hasattr(a, "shape") and not hasattr(a, "spec") \
             and getattr(a, "__closure__", "no") != "no":
         # plain functions/lambdas (e.g. an epoch_metric): identify by
-        # qualname + BYTECODE + consts + closure cell values so a resume
+        # qualname + code consts/names + closure cell values so a resume
         # with a changed metric (edited body, different inline threshold,
         # different closure) is refused rather than silently mixing
-        # incompatible 'extra' histories (ADVICE r2 + r3 review)
+        # incompatible 'extra' histories (ADVICE r2 + r3 review).
+        # Deliberately NOT co_code: raw bytecode changes with every CPython
+        # minor version, which would refuse every resume across interpreter
+        # upgrades (ADVICE r3 #2); consts + names + arity catch the edits
+        # that change semantics.
         h.update(getattr(a, "__qualname__", repr(type(a))).encode())
         code = getattr(a, "__code__", None)
         if code is not None:
-            h.update(code.co_code)
+            h.update(repr((code.co_argcount, code.co_names,
+                           code.co_varnames)).encode())
             for const in code.co_consts:
                 if isinstance(const, (int, float, str, bool, bytes,
                                       type(None))):
@@ -136,6 +153,13 @@ def _digest_value(h, a):
                 _digest_value(h, cell.cell_contents)
             except ValueError:  # empty cell
                 h.update(b"emptycell")
+        return
+    if callable(a) and not hasattr(a, "shape") and not hasattr(a, "spec") \
+            and not hasattr(a, "__dict__"):
+        # other non-function callables (C-level/builtin): qualname is the
+        # best stable identity available (ADVICE r3 #1)
+        h.update(repr(type(a)).encode())
+        h.update(getattr(a, "__qualname__", "").encode())
         return
     arr = a
     h.update(str(getattr(arr, "shape", ())).encode())
@@ -187,10 +211,13 @@ def _load_fit_state(path, carry_template, hist_arity, fingerprint=None):
             saved = str(z["fingerprint"])
             if saved != fingerprint:
                 raise ValueError(
-                    f"checkpoint {path!r} was written by a DIFFERENT fit "
-                    "(config, model, or input data differ) — resuming it "
-                    "would silently corrupt this run.  Delete the file or "
-                    "point CheckpointSpec.path elsewhere.")
+                    f"checkpoint {path!r} was written by a DIFFERENT fit — "
+                    "resuming it would silently corrupt this run.  Causes: "
+                    "changed config, model spec, input data, or epoch_metric "
+                    "function (including a partial-bound argument), or a "
+                    "checkpoint written by an older wire_tpu fingerprint "
+                    "format.  Delete the file or point CheckpointSpec.path "
+                    "elsewhere.")
         elif fingerprint is not None:
             from wire_tpu.train.artifacts import log
             log(f"WARNING: checkpoint {path!r} has no fingerprint "
