@@ -135,3 +135,18 @@ def test_ssim_large_magnitude_inputs():
         np.testing.assert_allclose(got, want, atol=2e-3)
     g = float(M.ssim_gaussian(y, y * 1.01))
     assert -1.0 <= g <= 1.0
+
+
+def test_ssim_smooth_image_no_overshoot():
+    """f32 E[x^2]-mu^2 cancellation made SSIM exceed 1 on smooth
+    reconstructions (r4 sweep: posenc SISR 'SSIM 1.172'); the metric now
+    computes in float64 on host.  Pin <= 1 and oracle agreement on a
+    smooth pair handed over as float32."""
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float32) / 96.0
+    x = 0.4 + 0.5 * xx + 0.1 * yy
+    rng = np.random.default_rng(3)
+    y = (x + rng.normal(0, 1e-3, x.shape)).astype(np.float32)
+    mine = float(M.ssim(x, y, data_range=1.0))
+    ref = _ssim_numpy(x.astype(np.float64), y.astype(np.float64))
+    assert mine <= 1.0 + 1e-9
+    assert abs(mine - ref) < 1e-6

@@ -35,8 +35,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
-# CPU jax (this tool may run alongside TPU jobs; the oracle is torch-side)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU jax for the torch-side runs (the shell presets JAX_PLATFORMS=axon, so
+# setdefault would keep the TPU; decided in main() before any jax import:
+# torch runs force cpu so they can run alongside TPU jobs, --jax_only keeps
+# the preset backend because the number being adjudicated is a TPU number).
 
 
 def _stand_in_denoise(seed=0):
@@ -251,22 +253,52 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--jax", action="store_true",
                    help="also run the wire_tpu fit from the same init")
+    p.add_argument("--jax_only", action="store_true",
+                   help="run only the wire_tpu side, loading the init the "
+                        "torch run saved (lets the slow CPU torch run and "
+                        "the TPU fit be scheduled independently)")
     p.add_argument("--out", default="results_tpu_r4/oracle")
     a = p.parse_args()
+    if not (a.jax or a.jax_only):
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     os.makedirs(a.out, exist_ok=True)
+    path = os.path.join(a.out, f"oracle_{a.task}_{a.nonlin}.json")
+    ipath = os.path.join(a.out, f"oracle_{a.task}_{a.nonlin}_init.pt")
+
+    if a.jax_only:
+        import torch
+        with open(path) as f:
+            out = json.load(f)
+        if a.task == "denoise":
+            im, _ = _stand_in_denoise(a.seed)
+        else:
+            im, _ = _stand_in_sisr(a.seed)
+        H, W, _ = im.shape
+        tm, jm = _build_torch_model(a.nonlin, a.task, H, W)
+        tm.load_state_dict(torch.load(ipath, weights_only=True))
+        jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
+            a.nonlin, a.niters, tm, jm, a.seed)
+        print(json.dumps({k: v for k, v in jr.items() if k != "mse_hist"}))
+        out["jax"] = jr
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print(f"wrote {path}")
+        return
+
     if a.task == "denoise":
         res, (tm, jm) = run_denoise_torch(a.nonlin, a.niters, a.seed)
     else:
         res, (tm, jm) = run_sisr_torch(a.nonlin, a.niters, a.seed)
     print(json.dumps({k: v for k, v in res.items() if k != "mse_hist"}))
     out = {"torch": res}
+    import torch
+    torch.save(tm.state_dict(), ipath)  # the restored INIT (see runners)
     if a.jax:
         jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
             a.nonlin, a.niters, tm, jm, a.seed)
         print(json.dumps({k: v for k, v in jr.items() if k != "mse_hist"}))
         out["jax"] = jr
-    path = os.path.join(a.out, f"oracle_{a.task}_{a.nonlin}.json")
     with open(path, "w") as f:
         json.dump(out, f)
     print(f"wrote {path}")

@@ -19,13 +19,16 @@ without materializing any rotated image.  Structure:
   of zero-padded (P, P) variant planes that sit VMEM-resident.  The
   residual |sin phi| <= 0.707 bounds the kernel's block spans.
 - grid = (angle, x-tile of 128, as two 64-wide subtiles); each subtile
-  loops over the integration rows in chunks of 32: the 2048 samples of
-  one (32-row, 64-column) chunk span <= 67 rows and <= 72 cols of the
-  plane, so each iteration dynamic-slices one (BR, BC) = (88, 256)
-  block and applies the bilinear weights as a one-hot MXU contraction
-  (cols) + select-lanes multiply (rows) for all 2048 samples at once —
-  the kernel is VPU-bound on selector construction, so samples per
-  selector build is the number that matters (PERF.md round 3).
+  loops over the integration rows in chunks of CHUNK_T: the 4096 samples
+  of one (64-row, 64-column) chunk span <= 90 rows and <= 110 cols of
+  the plane, so each iteration dynamic-slices one (BR, BC) = (104, 256)
+  block, compacts its live 128-lane window with a one-hot shift matmul
+  (_col_rebase — Mosaic lane slices must be 128-aligned, 8-aligned
+  rebasing isn't sliceable directly), and applies the bilinear weights
+  as a one-hot MXU contraction (cols, BCC=128 wide) + select-lanes
+  multiply (rows) for all 4096 samples at once — the kernel is VPU-bound
+  on selector construction, so samples per selector build and selector
+  AREA per sample are the numbers that matter (PERF.md rounds 3-4).
 - the adjoint kernel runs the same selection transposed, accumulating
   read-modify-write into the variant planes under a sequential grid; the
   XLA side folds the planes back with the inverse rot90s.  Both directions
@@ -48,13 +51,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_X = 128   # output columns per grid step (two 64-wide subtiles)
 SUB_X = 64     # columns per subtile (block-span unit)
-CHUNK_T = 32   # integration rows per selector build (swept on v5e:
-               # 4/8/16/32/64/128 -> 72/44/32/26.7/27.3/37 ms fwd+bwd at
-               # 512^2 x 100 angles — loop/slice amortization beats the
-               # slightly larger per-sample selector area up to 32)
+CHUNK_T = 64   # integration rows per selector build (r3 sweep at BC-wide
+               # selectors: 4/8/16/32/64/128 -> 72/44/32/26.7/27.3/37 ms
+               # fwd+bwd at 512^2 x 100 angles, 32 kept; after the r4
+               # column compaction the window admits larger chunks and the
+               # re-sweep 32/48/64 -> 22.3/19.7/19.4 ms picked 64)
 LANES = SUB_X * CHUNK_T   # samples per one-hot build/matmul
-BR = 88        # block rows: max(63 sin + 31 cos) + taps + 8-align slack
-BC = 256       # block cols: 63 + 0.707*31 + taps + 128-align slack
+BR = 104       # block rows: max 0.707*(63 + 63) + taps + 8-align slack
+BC = 256       # block cols: 63 + 0.707*63 + taps + 128-align slack
+BCC = 128      # compacted block cols: the chunk's column span (63 cos +
+               # 63*|sin| + 2 taps <= 110) fits a 128-lane window from an
+               # 8-ALIGNED start, but Mosaic lane slices must be
+               # 128-aligned — so the (BR, BC) block is compacted onto BCC
+               # lanes with a one-hot shift MATMUL (MXU, _col_rebase) and
+               # the column hat is built at BCC width, halving both the
+               # VPU selector construction (the kernel's bound) and the
+               # main contraction
 
 
 def _plane_size(S):
@@ -103,6 +115,25 @@ def _block_starts(sy, sx, P):
     return rs, cs
 
 
+def _col_rebase(sx, cs):
+    """8-aligned refined column base cs2 inside the 128-aligned (BR, BC)
+    block, plus the (BC, BCC) one-hot shift matrix that compacts the block
+    onto BCC lanes: blk[:, cs2-cs : cs2-cs+BCC] == blk @ shmat.
+
+    Every tap of the chunk lands in [cs2, cs2 + BCC): unclipped,
+    sx - cs2 <= 7 + span + 1 <= 118 < 128 (span <= 110 at CHUNK_T=64);
+    when clipped to cs + BC - BCC, all samples sit >= cs2 (floor(min sx)
+    rounds down to >= cs2) and the old [cs, cs + BC) guarantee bounds
+    them above by cs2 + 127."""
+    rx = jnp.floor(jnp.min(sx)).astype(jnp.int32)
+    cs2 = jnp.clip((rx // 8) * 8, cs, cs + BC - BCC)
+    sh = cs2 - cs
+    shmat = (jax.lax.broadcasted_iota(jnp.int32, (BC, BCC), 0)
+             == sh + jax.lax.broadcasted_iota(jnp.int32, (BC, BCC), 1)
+             ).astype(jnp.float32)
+    return cs2, shmat
+
+
 def _fwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, var_ref, out_ref):
     P = var_ref.shape[1]
     a = pl.program_id(0)
@@ -133,9 +164,13 @@ def _fwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, var_ref, out_ref):
             tlive = (traw <= S - 1.0).astype(jnp.float32)
             sy, sx = _positions(cphi, sphi, xs, t, c, off)
             rs, cs = _block_starts(sy, sx, P)
-            rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+            cs2, shmat = _col_rebase(sx, cs)
+            rowsel, colsel = _selectors(sy, sx, rs, cs2, BR, BCC)
             blk = var_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)]
-            prod = jnp.dot(blk, colsel,
+            # one-hot shift: exact selection of blk's bf16-truncated values
+            # (same single truncation the direct (BR, BC) dot applied)
+            blkc = jnp.dot(blk, shmat, preferred_element_type=jnp.float32)
+            prod = jnp.dot(blkc, colsel,
                            preferred_element_type=jnp.float32)
             return acc + tlive * jnp.sum(prod * rowsel, axis=0)
 
@@ -188,12 +223,20 @@ def _bwd_kernel(S, cphi_ref, sphi_ref, kidx_ref, cot_ref, oplanes_ref):
             tlive = (traw <= S - 1.0).astype(jnp.float32)
             sy, sx = _positions(cphi, sphi, xs, t, c, off)
             rs, cs = _block_starts(sy, sx, P)
-            rowsel, colsel = _selectors(sy, sx, rs, cs, BR, BC)
+            cs2, shmat = _col_rebase(sx, cs)
+            rowsel, colsel = _selectors(sy, sx, rs, cs2, BR, BCC)
             # adjoint of out[n] = sum_{r,c} blk[r,c] colsel[c,n] rowsel[r,n]
             tmp = rowsel * (tlive * cot512)[None, :]          # (BR, N)
-            add = jax.lax.dot_general(tmp, colsel,
+            addc = jax.lax.dot_general(tmp, colsel,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            # scatter back to the wide block; HIGHEST so the f32-accumulated
+            # addc is not bf16-truncated a second time (the shift one-hot
+            # itself is bf16-exact)
+            add = jax.lax.dot_general(addc, shmat,
                                       (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
             oplanes_ref[kv, pl.ds(rs, BR), pl.ds(cs, BC)] += add
             return 0
 

@@ -57,41 +57,38 @@ def rsnr(x, xhat):
 # SSIM (skimage-compatible) and MS-SSIM (pytorch_msssim-compatible)
 # ---------------------------------------------------------------------------
 
-def _uniform_filter(img, size):
-    """Separable uniform filter with zero padding then crop — matches
-    scipy.ndimage.uniform_filter on the interior, and SSIM crops the border
-    anyway."""
+def _np_uniform_filter(img, size):
+    """float64 separable uniform filter — same interior values as
+    scipy.ndimage.uniform_filter (the filter skimage uses); the zero-padded
+    border is cropped by the SSIM win//2 crop anyway."""
     pad = size // 2
-    k = jnp.ones((size,), img.dtype) / size
+    k = np.ones((size,), np.float64) / size
     out = img
     for axis in range(img.ndim):
-        out = jnp.apply_along_axis(
-            lambda v: jnp.convolve(v, k, mode="same"), axis, out)
+        out = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), axis, out)
     return out, pad
 
 
 def _ssim_single(x, y, data_range, win_size):
+    # Host-side numpy in float64: E[x^2]-mu^2 cancels catastrophically in
+    # f32 for smooth regions whose local mean dominates the local variance
+    # (smooth posenc/gauss reconstructions produced SSIM > 1), and every
+    # call site is a post-fit host metric — skimage itself computes in f64.
     K1, K2 = 0.01, 0.03
     C1 = (K1 * data_range) ** 2
     C2 = (K2 * data_range) ** 2
     NP = win_size ** x.ndim
     cov_norm = NP / (NP - 1.0)
 
-    ux, pad = _uniform_filter(x, win_size)
-    uy, _ = _uniform_filter(y, win_size)
-    # second moments on globally-centered copies: (co)variances are
-    # shift-invariant, and E[x^2]-mu^2 in f32 cancels catastrophically for
-    # values far from 0 (divergent CT/SISR reconstructions produced
-    # SSIM > 1 before this)
-    cx, cy = jnp.mean(x), jnp.mean(y)
-    xs, ys = x - cx, y - cy
-    uxs, uys = ux - cx, uy - cy
-    uxx, _ = _uniform_filter(xs * xs, win_size)
-    uyy, _ = _uniform_filter(ys * ys, win_size)
-    uxy, _ = _uniform_filter(xs * ys, win_size)
-    vx = cov_norm * (uxx - uxs * uxs)
-    vy = cov_norm * (uyy - uys * uys)
-    vxy = cov_norm * (uxy - uxs * uys)
+    ux, pad = _np_uniform_filter(x, win_size)
+    uy, _ = _np_uniform_filter(y, win_size)
+    uxx, _ = _np_uniform_filter(x * x, win_size)
+    uyy, _ = _np_uniform_filter(y * y, win_size)
+    uxy, _ = _np_uniform_filter(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
 
     A1 = 2 * ux * uy + C1
     A2 = 2 * vxy + C2
@@ -100,24 +97,24 @@ def _ssim_single(x, y, data_range, win_size):
     S = (A1 * A2) / (B1 * B2)
     # skimage crops a win//2 border before averaging
     sl = tuple(slice(pad, s - pad) for s in S.shape)
-    return jnp.mean(S[sl])
+    return float(np.mean(S[sl]))
 
 
 def ssim(x, y, data_range=1.0, win_size=7):
-    """skimage.metrics.structural_similarity-compatible SSIM.
+    """skimage.metrics.structural_similarity-compatible SSIM (float64,
+    host-side numpy — see _ssim_single).
 
     2D arrays, or 3D with the last axis as channels (channel-mean, matching
     multichannel=True)."""
-    x = jnp.asarray(x, jnp.float64 if jax.config.read("jax_enable_x64")
-                    else jnp.float32)
-    y = jnp.asarray(y, x.dtype)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
     if x.ndim == 2:
         return _ssim_single(x, y, data_range, win_size)
     vals = [
         _ssim_single(x[..., c], y[..., c], data_range, win_size)
         for c in range(x.shape[-1])
     ]
-    return jnp.mean(jnp.stack(vals))
+    return float(np.mean(vals))
 
 
 def _gaussian_kernel1d(size=11, sigma=1.5, dtype=jnp.float32):
