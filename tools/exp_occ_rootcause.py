@@ -86,7 +86,13 @@ def run_precision(size=256, niters=200):
     _write(out, f"rootcause_precision_{size}.json")
 
 
-def run_bounce(size=512, phase1=30, phase2=20):
+def run_bounce(size=512, phase1=30, phase2=20, phase3=15):
+    """Measured r4 result (rootcause_bounce_512.json): phase 2 at the
+    reference's TERMINAL LR (1e-3) converges to ~0.987 — the same plateau
+    the full 200-epoch reference schedule reaches — so the plateau is the
+    schedule's LR FLOOR, not insufficient time at it.  Phase 3 freezes at
+    the tuned schedule's terminal LR (5e-3 * 0.008 = 4e-5) from the
+    phase-2 params: an IoU jump toward ~0.995+ pins the attribution."""
     from wire_tpu.train.trainer import FitConfig, fit_pointwise
     from wire_tpu.apps.occupancy import _iou_metric
     t0 = time.time()
@@ -106,18 +112,30 @@ def run_bounce(size=512, phase1=30, phase2=20):
     res2 = fit_pointwise(model, res1.params, spec, target, cfg2,
                          track="noisy", epoch_metric=_iou_metric(0.5))
     iou2 = np.asarray(res2.time_array)
+    # phase 3: FROZEN at the tuned schedule's terminal LR (4e-5)
+    cfg3 = FitConfig(learning_rate=5e-3 * 0.008, niters=phase3,
+                     maxpoints=int(2e5), lr_decay=1.0, seed=2,
+                     scan_segment=2)
+    res3 = fit_pointwise(model, res2.params, spec, target, cfg3,
+                         track="noisy", epoch_metric=_iou_metric(0.5))
+    iou3 = np.asarray(res3.time_array)
     out = {"exp": "bounce", "size": size,
            "phase1_epochs": phase1, "phase2_epochs": phase2,
-           "phase2_lr": 5e-3 * 0.2,
+           "phase3_epochs": phase3,
+           "phase2_lr": 5e-3 * 0.2, "phase3_lr": 5e-3 * 0.008,
            "iou_phase1": iou1.tolist(),
            "iou_phase2": iou2.tolist(),
+           "iou_phase3": iou3.tolist(),
            "phase1_final_iou": float(iou1[-1]),
            "phase1_max_iou": float(iou1.max()),
            "phase2_final_iou": float(iou2[-1]),
            "phase2_max_iou": float(iou2.max()),
-           "phase2_best_iou": _best_iou(res2, im, size),
+           "phase3_final_iou": float(iou3[-1]),
+           "phase3_max_iou": float(iou3.max()),
+           "phase3_best_iou": _best_iou(res3, im, size),
            "plateau_reference_iou": 0.9862,  # full ref-schedule run (r2)
-           "fit_wall_s": round(res1.wall_time_s + res2.wall_time_s, 1),
+           "fit_wall_s": round(res1.wall_time_s + res2.wall_time_s
+                               + res3.wall_time_s, 1),
            "total_wall_s": round(time.time() - t0, 1)}
     _write(out, f"rootcause_bounce_{size}.json")
 
