@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
+from wire_tpu.ops.pallas.wire_mlp import (_make_dot, _round_up,
+                                           fast_sincos)
 
 TILE_N = 1024
 
@@ -123,8 +124,9 @@ def _make_step_kernel(k, names, precision, tile_n, n_tiles, metrics):
             nm_ = c2 + mu2 - 2.0 * _dot_nt(c, mu)      # c @ mu^T
             e = jnp.exp(-0.5 * w[f"f{j}g"] * nm_)
             E.append(e)
-            S.append(jnp.sin(q))
-            Cq.append(jnp.cos(q))
+            snq, csq = fast_sincos(q)
+            S.append(snq)
+            Cq.append(csq)
             Nm.append(nm_)
             return e * S[-1]
 

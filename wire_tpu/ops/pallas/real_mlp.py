@@ -66,7 +66,11 @@ def _basis(kind):
                     + 0.5 * _r(v - 2) ** 2)
         return B, dB
     if kind == "sine":
-        return jnp.sin, jnp.cos
+        # fast_sincos shares one range reduction for both polynomials;
+        # jnp.sin/jnp.cos each lower to a much longer libcall in Mosaic
+        # (measured ~3.6 ms per pass at 512^2 x 256 lanes, PERF.md r4)
+        from wire_tpu.ops.pallas.wire_mlp import fast_sincos
+        return (lambda v: fast_sincos(v)[0]), (lambda v: fast_sincos(v)[1])
     if kind == "gauss":
         def B(v):
             return jnp.exp(-v * v)

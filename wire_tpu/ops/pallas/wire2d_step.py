@@ -43,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
+from wire_tpu.ops.pallas.wire_mlp import (_make_dot, _round_up,
+                                           fast_sincos)
 
 TILE_N = 512
 
@@ -175,8 +176,8 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
         lr1 = z1[:, :hp]
         or1 = z1[:, hp:]
         m0 = jnp.exp(-s2 * (lr1 * lr1 + or1 * or1))
-        a = jnp.concatenate([m0 * jnp.cos(first_omega0 * lr1),
-                             m0 * jnp.sin(first_omega0 * lr1)], axis=1)
+        sn1, cs1 = fast_sincos(first_omega0 * lr1)
+        a = jnp.concatenate([m0 * cs1, m0 * sn1], axis=1)
         acc("fb", jnp.sum(g_b, axis=0, keepdims=True))
 
         a_out_b = afin_b
@@ -210,8 +211,8 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
             m = jnp.exp(-omega0 * lif - s2 * arg)
             acc(f"h{bj}B", jnp.sum(dz, axis=0, keepdims=True))
             da = _dot_nt(dz, w[f"h{bj}W"])
-            a = jnp.concatenate([m * jnp.cos(omega0 * lr),
-                                 m * jnp.sin(omega0 * lr)], axis=1)
+            snl, csl = fast_sincos(omega0 * lr)
+            a = jnp.concatenate([m * csl, m * snl], axis=1)
             a_out_b = a_in_b
 
         # fwd epilogue: final layer of tile i

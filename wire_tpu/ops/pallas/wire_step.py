@@ -70,7 +70,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wire_tpu.ops.pallas.wire_mlp import _make_dot, _round_up
+from wire_tpu.ops.pallas.wire_mlp import (_make_dot, _round_up,
+                                           fast_sincos)
 
 # Coordinate rows per grid step.  Two sweeps on v5e at the headline config
 # (65536 coords, h=212->256):
@@ -210,8 +211,8 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
 
         sc_z1[sf] = z1
         m0 = jnp.exp(-s2 * (z1 * z1))
-        a = jnp.concatenate([m0 * jnp.cos(first_omega0 * z1),
-                             m0 * jnp.sin(first_omega0 * z1)], axis=1)
+        sn1, cs1 = fast_sincos(first_omega0 * z1)
+        a = jnp.concatenate([m0 * cs1, m0 * sn1], axis=1)
         acc("fb", jnp.sum(g_b, axis=0, keepdims=True))
 
         # Gabor backward in activation form: with (ar, ai) the layer's own
@@ -250,8 +251,8 @@ def _make_step_kernel(L, omega0, sigma0, first_omega0, names, precision,
             m = jnp.exp(-omega0 * zi - s2 * (zr * zr + zi * zi))
             acc(f"h{bj}B", jnp.sum(dz, axis=0, keepdims=True))
             da = _dot_nt(dz, w[f"h{bj}W"])
-            a = jnp.concatenate([m * jnp.cos(omega0 * zr),
-                                 m * jnp.sin(omega0 * zr)], axis=1)
+            snl, csl = fast_sincos(omega0 * zr)
+            a = jnp.concatenate([m * csl, m * snl], axis=1)
             a_out_b = a_in_b
 
         # fwd epilogue: final layer of tile i
