@@ -410,9 +410,11 @@ def _canon_siren(params, spec):
 
 
 def siren_apply(params, coords, spec: INRSpec):
-    # the backward recompute of sin/cos costs more than XLA's residual
-    # storage for this family — fused only on explicit request
-    use = _use_fused(spec)[0] and spec.fused == "always"
+    # r3 gated this family off the fused path ("backward recompute of
+    # sin/cos costs more than XLA's residual storage"); fast_sincos
+    # (ops/pallas/wire_mlp.py, r4) made the recompute cheap — measured
+    # 7.93/14.5 ms XLA vs 4.48/11.1 ms fused fwd/fwd+bwd at 512^2 coords
+    use = _use_fused(spec)[0]
     if use:
         canon = _canon_siren(params, spec)
         return _fused_real(params, coords, spec,
