@@ -99,3 +99,20 @@ def test_fused_handles_unaligned_batch():
     fused = wire_mlp_fused(params, coords, model.spec, interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-5, atol=5e-6)
+
+
+def test_fast_sincos_accuracy():
+    """fast_sincos (shared Cody-Waite pi/2 reduction + cephes minimax
+    polys) must match numpy float64 sin/cos to f32 rounding over the
+    whole Gabor-phase range — every kernel family consumes it (r4)."""
+    from wire_tpu.ops.pallas.wire_mlp import fast_sincos
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(-8000, 8000, 100000),
+        rng.uniform(-4, 4, 10000),
+        np.array([0.0, np.pi / 2, -np.pi / 2, np.pi, 1e-20, -0.0]),
+    ]).astype(np.float32)
+    s, c = fast_sincos(jnp.asarray(x))
+    x64 = x.astype(np.float64)
+    assert np.abs(np.asarray(s) - np.sin(x64)).max() < 2e-7
+    assert np.abs(np.asarray(c) - np.cos(x64)).max() < 2e-7

@@ -8,7 +8,7 @@ a faster decay reaches the sharp-boundary regime the short-schedule probe
 demonstrated (tools/exp_occ_sharpness.py: IoU 0.9934 and rising at epoch
 20 with the 20-epoch schedule; omega0=30 diverges outright).
 
-Writes results_tpu_r3/occupancy/summary_512_tuned.json.
+Writes results_tpu_r4/occupancy/summary_512_tuned.json.
 """
 import json
 import os
@@ -58,10 +58,10 @@ def main():
            "fit_wall_s": round(res.wall_time_s, 1),
            "coords_per_s": round(niters * size ** 3 / res.wall_time_s, 1),
            "total_wall_s": round(time.time() - t0, 1)}
-    os.makedirs("results_tpu_r3/occupancy", exist_ok=True)
-    with open("results_tpu_r3/occupancy/summary_512_tuned.json", "w") as f:
+    os.makedirs("results_tpu_r4/occupancy", exist_ok=True)
+    with open("results_tpu_r4/occupancy/summary_512_tuned.json", "w") as f:
         json.dump(out, f, indent=1)
-    np.save("results_tpu_r3/occupancy/iou_hist_512_tuned.npy", iou)
+    np.save("results_tpu_r4/occupancy/iou_hist_512_tuned.npy", iou)
     print(json.dumps(out))
 
 
