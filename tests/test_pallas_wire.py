@@ -116,3 +116,34 @@ def test_fast_sincos_accuracy():
     x64 = x.astype(np.float64)
     assert np.abs(np.asarray(s) - np.sin(x64)).max() < 2e-7
     assert np.abs(np.asarray(c) - np.cos(x64)).max() < 2e-7
+
+
+@pytest.mark.parametrize("n", [256, 512, 513])
+def test_fused_vjp_tile_boundaries(n):
+    """The r4 pipelined backward runs a phantom step at each end of the
+    grid (step 0 consumes zeroed scratch against a REAL clamped g block;
+    the final step refetches the last tile).  Pin grads at single-tile,
+    exactly-one-tile, and one-row-over sizes against autodiff of the jnp
+    path."""
+    model = get_inr("wire", in_features=2, out_features=2,
+                    hidden_features=48, hidden_layers=1, first_omega0=5.0,
+                    hidden_omega0=5.0, scale=3.0)
+    params = model.init(jax.random.key(2))
+    rng = np.random.default_rng(2)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+
+    def loss_ref(p):
+        return jnp.mean((model.apply(p, coords) - tgt) ** 2)
+
+    def loss_fused(p):
+        return jnp.mean((wire_mlp_fused(p, coords, model.spec,
+                                        interpret=True) - tgt) ** 2)
+
+    gr = jax.grad(loss_ref)(params)
+    gf = jax.grad(loss_fused)(params)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gr)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(gf)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(ka))
