@@ -97,3 +97,36 @@ def test_mfn_trains_through_step_grads():
     res = fit_pointwise(model, params, C.grid2d(H, W), im.reshape(-1, 3),
                         cfg, gt=im.reshape(-1, 3), donate=False)
     assert res.mse_gt[-1] < res.mse_gt[0] * 0.7
+
+
+@pytest.mark.parametrize("n", [700, 1024])
+def test_mfn_pair_vjp_matches_autodiff(n):
+    """The r4 apply pair (fwd kernel + recompute-backward with external
+    cotangent, incl. dcoords) must match XLA autodiff of the jnp path."""
+    from wire_tpu.ops.pallas.mfn_step import mfn_mlp_fused
+    model = get_inr("mfn", in_features=2, out_features=3,
+                    hidden_features=48, hidden_layers=2, scale=64.0)
+    params = model.init(jax.random.key(3))
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+    spec = model.spec.replace(fused="never")
+
+    def loss_ref(p, c):
+        from wire_tpu.nn.models import mfn_apply
+        return jnp.mean((mfn_apply(p, c, spec) - tgt) ** 2)
+
+    def loss_fused(p, c):
+        return jnp.mean((mfn_mlp_fused(p, c, model.spec, interpret=True)
+                         - tgt) ** 2)
+
+    (gr_p, gr_c) = jax.grad(loss_ref, argnums=(0, 1))(params, coords)
+    (gf_p, gf_c) = jax.grad(loss_fused, argnums=(0, 1))(params, coords)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gr_p)[0], key=str),
+            sorted(jax.tree_util.tree_flatten_with_path(gf_p)[0], key=str)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=1e-6, err_msg=str(ka))
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gr_c),
+                               rtol=2e-4, atol=1e-6)

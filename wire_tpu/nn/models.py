@@ -546,6 +546,13 @@ def _mfn_gabor(p, x):
 def mfn_apply(params, coords, spec: INRSpec):
     # The reference forward indexes x[0, ...] and re-adds the batch dim
     # (mfn.py:49-53); here leading dims broadcast naturally.
+    use, interpret = _use_fused(spec)
+    if use:
+        # fused fwd + custom recompute-VJP pair (the operator-fit model
+        # path — the pointwise one-pass step kernel cannot absorb a
+        # global operator); serial form, dcoords included
+        from wire_tpu.ops.pallas.mfn_step import mfn_mlp_fused
+        return mfn_mlp_fused(params, coords, spec, interpret)
     k = spec.hidden_layers + 1
     z = _mfn_gabor(params["gabor_0"], coords)
     for i in range(k - 1):

@@ -76,6 +76,75 @@ def _unpad_grads(dw, params, k, h, o):
     return dparams
 
 
+def _mfn_forward(c, w, k, _dot, _dot_nt):
+    """Shared forward recurrence: returns (zs, ls, E, S, Cq, Nm)."""
+    c2 = jnp.sum(c * c, axis=1, keepdims=True)         # (n, 1)
+    E, S, Cq, Nm = [], [], [], []
+
+    def filt(j):
+        q = _dot(c, w[f"f{j}w"]) + w[f"f{j}b"]
+        mu = w[f"f{j}mu"]
+        mu2 = jnp.sum(mu * mu, axis=1)[None, :]
+        nm_ = c2 + mu2 - 2.0 * _dot_nt(c, mu)          # c @ mu^T
+        e = jnp.exp(-0.5 * w[f"f{j}g"] * nm_)
+        E.append(e)
+        snq, csq = fast_sincos(q)
+        S.append(snq)
+        Cq.append(csq)
+        Nm.append(nm_)
+        return e * S[-1]
+
+    zs = [filt(0)]                                      # z_0 = g_0
+    ls = [None]
+    for j in range(1, k):
+        l = _dot(zs[-1], w[f"l{j - 1}W"]) + w[f"l{j - 1}B"]
+        g = filt(j)
+        ls.append(l)
+        zs.append(l * g)
+    return zs, ls, E, S, Cq, Nm
+
+
+def _mfn_backward(c, w, k, gy, zs, ls, E, S, Cq, Nm, acc,
+                  _dot, _dot_tn, _dot_nt, want_dc=False):
+    """Shared backward sweep: accumulates weight grads via ``acc`` and
+    (optionally) returns dcoords.  Filter backward per the module
+    docstring; the coords cotangent adds, per filter j,
+    dq_j @ w_j^T + 2 rowsum(dn_j) * c - 2 dn_j @ mu_j."""
+    dc = jnp.zeros_like(c) if want_dc else None
+
+    def filt_grads(j, dg):
+        nonlocal dc
+        es = dg * E[j]
+        dq = es * Cq[j]
+        acc(f"f{j}w", _dot_tn(c, dq))
+        acc(f"f{j}b", jnp.sum(dq, axis=0, keepdims=True))
+        ges = es * S[j]                                 # dg E S
+        acc(f"f{j}g", -0.5 * jnp.sum(ges * Nm[j], axis=0,
+                                     keepdims=True))
+        dn = (-0.5 * w[f"f{j}g"]) * ges
+        col = jnp.sum(dn, axis=0, keepdims=True)        # (1, hp)
+        mu = w[f"f{j}mu"]
+        acc(f"f{j}mu",
+            2.0 * jnp.transpose(col) * mu - 2.0 * _dot_tn(dn, c))
+        if want_dc:
+            dc = (dc + _dot_nt(dq, w[f"f{j}w"])
+                  + 2.0 * jnp.sum(dn, axis=1, keepdims=True) * c
+                  - 2.0 * _dot(dn, mu))
+
+    acc("fW", _dot_tn(zs[-1], gy))
+    acc("fb", jnp.sum(gy, axis=0, keepdims=True))
+    dz = _dot_nt(gy, w["fW"])
+    for j in range(k - 1, 0, -1):
+        g = E[j] * S[j]
+        dl = dz * g
+        filt_grads(j, dz * ls[j])
+        acc(f"l{j - 1}W", _dot_tn(zs[j - 1], dl))
+        acc(f"l{j - 1}B", jnp.sum(dl, axis=0, keepdims=True))
+        dz = _dot_nt(dl, w[f"l{j - 1}W"])
+    filt_grads(0, dz)
+    return dc
+
+
 def _make_step_kernel(k, names, precision, tile_n, n_tiles, metrics):
     _dot, _dot_tn, _dot_nt = _make_dot(precision)
 
@@ -114,29 +183,7 @@ def _make_step_kernel(k, names, precision, tile_n, n_tiles, metrics):
 
         # ---- forward --------------------------------------------------
         c = c_ref[:]
-        c2 = jnp.sum(c * c, axis=1, keepdims=True)     # (n, 1)
-        E, S, Cq, Nm = [], [], [], []
-
-        def filt(j):
-            q = _dot(c, w[f"f{j}w"]) + w[f"f{j}b"]
-            mu = w[f"f{j}mu"]
-            mu2 = jnp.sum(mu * mu, axis=1)[None, :]
-            nm_ = c2 + mu2 - 2.0 * _dot_nt(c, mu)      # c @ mu^T
-            e = jnp.exp(-0.5 * w[f"f{j}g"] * nm_)
-            E.append(e)
-            snq, csq = fast_sincos(q)
-            S.append(snq)
-            Cq.append(csq)
-            Nm.append(nm_)
-            return e * S[-1]
-
-        zs = [filt(0)]                                  # z_0 = g_0
-        ls = [None]
-        for j in range(1, k):
-            l = _dot(zs[-1], w[f"l{j - 1}W"]) + w[f"l{j - 1}B"]
-            g = filt(j)
-            ls.append(l)
-            zs.append(l * g)
+        zs, ls, E, S, Cq, Nm = _mfn_forward(c, w, k, _dot, _dot_nt)
         y = _dot(zs[-1], w["fW"]) + w["fb"]
         y_ref[:] = y
 
@@ -153,31 +200,8 @@ def _make_step_kernel(k, names, precision, tile_n, n_tiles, metrics):
             sc_m[1:2] += jnp.sum(err_g * err_g, axis=0, keepdims=True)
 
         # ---- backward -------------------------------------------------
-        def filt_grads(j, dg):
-            es = dg * E[j]
-            dq = es * Cq[j]
-            acc(f"f{j}w", _dot_tn(c, dq))
-            acc(f"f{j}b", jnp.sum(dq, axis=0, keepdims=True))
-            ges = es * S[j]                             # dg E S
-            acc(f"f{j}g", -0.5 * jnp.sum(ges * Nm[j], axis=0,
-                                         keepdims=True))
-            dn = (-0.5 * w[f"f{j}g"]) * ges
-            col = jnp.sum(dn, axis=0, keepdims=True)    # (1, hp)
-            mu = w[f"f{j}mu"]
-            acc(f"f{j}mu",
-                2.0 * jnp.transpose(col) * mu - 2.0 * _dot_tn(dn, c))
-
-        acc("fW", _dot_tn(zs[-1], gy))
-        acc("fb", jnp.sum(gy, axis=0, keepdims=True))
-        dz = _dot_nt(gy, w["fW"])
-        for j in range(k - 1, 0, -1):
-            g = E[j] * S[j]
-            dl = dz * g
-            filt_grads(j, dz * ls[j])
-            acc(f"l{j - 1}W", _dot_tn(zs[j - 1], dl))
-            acc(f"l{j - 1}B", jnp.sum(dl, axis=0, keepdims=True))
-            dz = _dot_nt(dl, w[f"l{j - 1}W"])
-        filt_grads(0, dz)
+        _mfn_backward(c, w, k, gy, zs, ls, E, S, Cq, Nm, acc,
+                      _dot, _dot_tn, _dot_nt)
 
         @pl.when(i == n_tiles - 1)
         def _flush():
@@ -189,11 +213,161 @@ def _make_step_kernel(k, names, precision, tile_n, n_tiles, metrics):
     return kernel
 
 
+def _make_fwd_kernel(k, names, precision):
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
+
+    def kernel(*refs):
+        c_ref = refs[0]
+        w = {nm: refs[1 + j][:] for j, nm in enumerate(names)}
+        out_ref = refs[1 + len(names)]
+        zs, _, _, _, _, _ = _mfn_forward(c_ref[:], w, k, _dot, _dot_nt)
+        out_ref[:] = _dot(zs[-1], w["fW"]) + w["fb"]
+    return kernel
+
+
+def _make_bwd_kernel(k, names, precision, n_tiles):
+    """Recompute forward + backward with the caller-supplied cotangent;
+    emits dcoords blocks and accumulated weight grads (the operator-fit
+    VJP — serial form like the step kernel, no pipelining needed: the
+    VPU-heavy filter math interleaves with the chain GEMMs in-body)."""
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
+
+    def kernel(*refs):
+        c_ref, g_ref = refs[0], refs[1]
+        w = {nm: refs[2 + j][:] for j, nm in enumerate(names)}
+        outs = refs[2 + len(names):]
+        dc_ref = outs[0]
+        dout = {nm: outs[1 + j] for j, nm in enumerate(names)}
+        dacc = {nm: outs[1 + len(names) + j]
+                for j, nm in enumerate(names)}
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _zero():
+            for nm in names:
+                dacc[nm][:] = jnp.zeros_like(dacc[nm])
+
+        def acc(nm, val):
+            dacc[nm][:] += val
+
+        c = c_ref[:]
+        zs, ls, E, S, Cq, Nm = _mfn_forward(c, w, k, _dot, _dot_nt)
+        dc = _mfn_backward(c, w, k, g_ref[:], zs, ls, E, S, Cq, Nm, acc,
+                           _dot, _dot_tn, _dot_nt, want_dc=True)
+        dc_ref[:] = dc
+
+        @pl.when(i == n_tiles - 1)
+        def _flush():
+            for nm in names:
+                dout[nm][:] = dacc[nm][:]
+    return kernel
+
+
 @functools.lru_cache(maxsize=16)
-def _step_program(k, d, h, o, tile_n, n_tiles, interpret,
-                  precision="default", metrics=False):
+def _pair_programs(k, d, h, o, tile_n, n_tiles, interpret,
+                   precision="default"):
     hp = _round_up(h, 128)
     op = _round_up(max(o, 1), 128)
+    names, shapes = _names_shapes(k, d, hp, op)
+
+    def wspec(nm):
+        s = shapes[nm]
+        zeros = (0,) * len(s)
+        return pl.BlockSpec(s, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    def imap(i):
+        return (i, 0)
+
+    fwd = pl.pallas_call(
+        _make_fwd_kernel(k, names, precision),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_n, d), imap, memory_space=pltpu.VMEM)]
+                 + [wspec(nm) for nm in names],
+        out_specs=pl.BlockSpec((tile_n, op), imap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    bwd = pl.pallas_call(
+        _make_bwd_kernel(k, names, precision, n_tiles),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_n, d), imap, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_n, op), imap,
+                               memory_space=pltpu.VMEM)]
+                 + [wspec(nm) for nm in names],
+        out_specs=[pl.BlockSpec((tile_n, d), imap,
+                                memory_space=pltpu.VMEM)]
+                  + [wspec(nm) for nm in names],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, d), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
+                     for nm in names],
+        scratch_shapes=[pltpu.VMEM(shapes[nm], jnp.float32)
+                        for nm in names],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+    return fwd, bwd, names, hp, op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _mfn_fused(params, coords, k, interpret, precision):
+    out, _ = _mfn_fused_fwd(params, coords, k, interpret, precision)
+    return out
+
+
+def _mfn_fused_fwd(params, coords, k, interpret, precision):
+    n, d = coords.shape
+    h = params["gabor_0"]["b"].shape[0]
+    o = params["final"]["b"].shape[0]
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    fwd, _, names, hp, op = _pair_programs(k, d, h, o, TILE_N, n_tiles,
+                                           interpret, precision)
+    padded = _pad_params(params, k, d, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    out = fwd(cpad, *[padded[nm] for nm in names])
+    return out[:n, :o], (params, coords)
+
+
+def _mfn_fused_bwd(k, interpret, precision, res, g):
+    params, coords = res
+    n, d = coords.shape
+    h = params["gabor_0"]["b"].shape[0]
+    o = params["final"]["b"].shape[0]
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    _, bwd, names, hp, op = _pair_programs(k, d, h, o, TILE_N, n_tiles,
+                                           interpret, precision)
+    padded = _pad_params(params, k, d, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    # zero-padded cotangent rows make every padding-row contribution zero
+    gpad = jnp.pad(g, ((0, n_pad - n), (0, op - o)))
+    outs = bwd(cpad, gpad, *[padded[nm] for nm in names])
+    dc = outs[0][:n]
+    dw = {nm: outs[1 + j] for j, nm in enumerate(names)}
+    return _unpad_grads(dw, params, k, h, o), dc
+
+
+_mfn_fused.defvjp(_mfn_fused_fwd, _mfn_fused_bwd)
+
+
+def mfn_mlp_fused(params, coords, spec, interpret=False):
+    """Fused MFN forward with custom fused VJP (the operator-fit /
+    rendering model path; wire_mlp.wire_mlp_fused's contract)."""
+    lead = coords.shape[:-1]
+    c2 = coords.reshape(-1, coords.shape[-1])
+    out = _mfn_fused(params, c2, spec.hidden_layers + 1, interpret,
+                     getattr(spec, "gemm_precision", "default"))
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _names_shapes(k, d, hp, op):
     names = []
     shapes = {}
     for i in range(k):
@@ -205,6 +379,15 @@ def _step_program(k, d, h, o, tile_n, n_tiles, interpret,
         shapes.update({f"l{i}W": (hp, hp), f"l{i}B": (1, hp)})
     names += ["fW", "fb"]
     shapes.update({"fW": (hp, op), "fb": (1, op)})
+    return names, shapes
+
+
+@functools.lru_cache(maxsize=16)
+def _step_program(k, d, h, o, tile_n, n_tiles, interpret,
+                  precision="default", metrics=False):
+    hp = _round_up(h, 128)
+    op = _round_up(max(o, 1), 128)
+    names, shapes = _names_shapes(k, d, hp, op)
 
     def wspec(nm):
         s = shapes[nm]
