@@ -13,6 +13,9 @@ from . import torch_bridge as tb
 # (nonlin, extra-kwargs, needs detach compat)
 CASES = [
     ("wire", dict(first_omega0=7.0, hidden_omega0=7.0, scale=8.0), {}),
+    # real cos*gauss Gabor (wire.py:6-42); moderate sigma keeps the gauss
+    # term out of denormal range (same reasoning as wire2d below)
+    ("realgabor", dict(first_omega0=7.0, hidden_omega0=7.0, scale=2.0), {}),
     # moderate scale/omega: the reference defaults (10/10) drive most 2D-Gabor
     # activations into denormal range where relative comparison is vacuous
     ("wire2d", dict(first_omega0=4.0, hidden_omega0=4.0, scale=1.5), {}),

@@ -51,6 +51,28 @@ def test_adjoint_matches_vjp():
     np.testing.assert_allclose(gk, go, rtol=2e-5, atol=2e-4)
 
 
+def test_angle_grad_raises_loudly():
+    """Differentiating (or jit-tracing) through the ANGLE argument must be a
+    loud error, not a silent zero cotangent (VERDICT r4 #4); rotate_xla is
+    the angle-differentiable path."""
+    from wire_tpu.operators.radon import radon
+    S = 32
+    img = jnp.asarray(np.random.RandomState(4).rand(S, S).astype(np.float32))
+    angles = jnp.asarray([10.0, 40.0], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="rotate_xla"):
+        jax.grad(lambda a: rotate_project(img, a, True).sum())(angles)
+    with pytest.raises(ValueError, match="rotate_xla"):
+        jax.jit(lambda a: rotate_project(img, a, True))(angles)
+    # concrete angles still work under jit/grad w.r.t. the image ...
+    out = jax.jit(lambda im: rotate_project(im, angles, True))(img)
+    assert out.shape == (2, S)
+    g = jax.grad(lambda im: rotate_project(im, angles, True).sum())(img)
+    assert np.isfinite(np.asarray(g)).all()
+    # ... and the XLA oracle path differentiates through angles for real
+    ga = jax.grad(lambda a: radon(img, a, method="rotate_xla").sum())(angles)
+    assert np.asarray(jnp.abs(ga)).max() > 0
+
+
 def test_dot_product_adjoint_identity():
     # <A x, y> == <x, A^T y> ties fwd and bwd kernels to each other
     S = 48

@@ -69,6 +69,22 @@ def make_ref_model(nonlin, **kw):
                             kw["hidden_layers"], kw["out_features"],
                             True, kw["first_omega0"], kw["hidden_omega0"],
                             kw["scale"])
+        if nonlin == "realgabor":
+            # the reference defines RealGaborLayer (wire.py:6-42) but never
+            # wires it into an INR (wire.py:115 hardcodes ComplexGaborLayer);
+            # compose the REFERENCE layer class into the shared chain
+            # topology so the layer math itself is the parity oracle.
+            from modules import wire
+            layers = [wire.RealGaborLayer(
+                kw["in_features"], kw["hidden_features"], is_first=True,
+                omega0=kw["first_omega0"], sigma0=kw["scale"])]
+            for _ in range(kw["hidden_layers"]):
+                layers.append(wire.RealGaborLayer(
+                    kw["hidden_features"], kw["hidden_features"],
+                    omega0=kw["hidden_omega0"], sigma0=kw["scale"]))
+            layers.append(torch.nn.Linear(kw["hidden_features"],
+                                          kw["out_features"]))
+            return torch.nn.Sequential(*layers)
         if nonlin == "wire2d":
             from modules import wire2d
             return wire2d.INR(kw["in_features"], kw["hidden_features"],
@@ -185,6 +201,14 @@ def params_from_ref(nonlin, model, hidden_layers):
         for i in range(hidden_layers):
             p[f"hidden_{i}"] = _clin(model.net[1 + i].linear)
         p["final"] = _clin(model.net[-1])
+        return p
+    if nonlin == "realgabor":
+        def glayer(m):
+            return {"freqs": _lin(m.freqs), "scale": _lin(m.scale)}
+        p = {"first": glayer(model[0])}
+        for i in range(hidden_layers):
+            p[f"hidden_{i}"] = glayer(model[1 + i])
+        p["final"] = _lin(model[-1])
         return p
     if nonlin == "wire2d":
         p = {"first_lin": _lin(model.net[0].linear),

@@ -62,6 +62,49 @@ def _stand_in_sisr(seed=0, scale=4):
     return im.astype(np.float32), im_lr.astype(np.float32)
 
 
+def _stand_in_ct(seed=0, size=256):
+    from wire_tpu.apps import common
+    from wire_tpu.signals import image as I
+    img = common.load_image(None, size=size, channels=1, seed=seed)
+    if img.ndim == 3:
+        img = img[..., 0]
+    return I.normalize(img, True).astype(np.float32)
+
+
+def _make_rot_grids(H, W, thetas_deg):
+    """Per-angle torch grid_sample grids reproducing the reference Radon
+    rotation (lin_inverse.py:33, kornia.geometry.rotate == cv2 convention,
+    pinned in wire_tpu/ops/resample.py:50-65): rotate about the pixel center
+    ((W-1)/2, (H-1)/2), positive = CCW on screen, bilinear, zero padding.
+    For align_corners=True the normalized<->pixel map is linear about that
+    same center, so the grid is the centered pixel-space inverse rotation
+    renormalized."""
+    import torch
+    t = torch.deg2rad(torch.tensor(np.asarray(thetas_deg, np.float32)))
+    cos, sin = torch.cos(t)[:, None, None], torch.sin(t)[:, None, None]
+    ys, xs = torch.meshgrid(torch.arange(H, dtype=torch.float32),
+                            torch.arange(W, dtype=torch.float32),
+                            indexing="ij")
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    x, y = xs - cx, ys - cy
+    sx = cos * x - sin * y + cx
+    sy = sin * x + cos * y + cy
+    gx = 2 * sx / (W - 1) - 1
+    gy = 2 * sy / (H - 1) - 1
+    return torch.stack([gx, gy], -1)  # (A, H, W, 2)
+
+
+def _torch_radon(img_1chw, grids):
+    """Reference radon semantics (rotate every angle, sum rows) on torch CPU
+    without kornia (not installed here): F.grid_sample on the pinned-
+    convention grids.  (1, 1, H, W) -> (A, W)."""
+    import torch.nn.functional as F
+    rot = F.grid_sample(img_1chw.expand(grids.shape[0], -1, -1, -1), grids,
+                        mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    return rot.sum(2).squeeze(1)
+
+
 def _build_torch_model(nonlin, task, H, W):
     from torch_bridge import make_ref_model
     from wire_tpu.apps.sweep import _build
@@ -189,6 +232,92 @@ def run_sisr_torch(nonlin, niters, seed=0, scale=4, log_every=100):
             "wall_s": time.time() - t0, "mse_hist": mse_hist}, (model, jm)
 
 
+def run_ct_torch(nonlin, niters, seed=0, size=256, nmeas=100, log_every=100):
+    """Reference CT loop (wire_ct.py:120-152): full-batch render, radon
+    forward, Adam + LambdaLR 0.1^(e/niters), best tracked by MSE vs gt."""
+    import copy
+    import torch
+    from wire_tpu.apps.sweep import _CT_LR
+    from wire_tpu.signals import coords as C
+    from wire_tpu.train import metrics as M
+
+    img = _stand_in_ct(seed, size)
+    H, W = img.shape
+    model, jm = _build_torch_model(nonlin, "ct", H, W)
+    state0 = copy.deepcopy(model.state_dict())
+    optim = torch.optim.Adam(lr=_CT_LR[nonlin], params=model.parameters())
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        optim, lambda x: 0.1 ** min(x / niters, 1))
+
+    thetas = np.linspace(0, 180, nmeas, dtype=np.float32)
+    grids = _make_rot_grids(H, W, thetas)
+    imten = torch.tensor(img)[None, None]
+    with torch.no_grad():
+        sino = _torch_radon(imten, grids)
+    coords = torch.tensor(np.asarray(C.grid2d(H, W)))[None]
+
+    best_mse, best_img = float("inf"), None
+    mse_hist = []
+    t0 = time.time()
+    for epoch in range(niters):
+        img_estim = model(coords).reshape(1, 1, H, W)
+        sino_estim = _torch_radon(img_estim, grids)
+        loss = ((sino - sino_estim) ** 2).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        sched.step()
+        with torch.no_grad():
+            mse = ((img_estim[0, 0] - imten[0, 0]) ** 2).mean().item()
+        mse_hist.append(mse)
+        if mse < best_mse:
+            best_mse = mse
+            best_img = img_estim.detach().numpy().reshape(H, W).copy()
+        if log_every and epoch % log_every == 0:
+            print(f"[torch {nonlin}] epoch {epoch}: mse_gt {mse:.5f} "
+                  f"psnr {-10 * np.log10(mse):.2f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    psnr = float(M.psnr_ref(img, best_img))
+    ssim = float(M.ssim(img, best_img))
+    model.load_state_dict(state0)
+    return {"nonlin": nonlin, "task": "ct", "niters": niters, "size": size,
+            "nmeas": nmeas, "psnr_ref": psnr, "ssim": ssim,
+            "best_mse": best_mse, "wall_s": time.time() - t0,
+            "mse_hist": mse_hist}, (model, jm)
+
+
+def run_ct_jax(nonlin, niters, torch_model, jax_model, seed=0, size=256,
+               nmeas=100):
+    """wire_tpu CT fit at identical settings, through the reference-exact
+    'rotate' operator (same bilinear line integrals as the torch oracle)."""
+    import jax
+    from torch_bridge import params_from_ref
+    from wire_tpu.apps.sweep import _CT_LR
+    from wire_tpu.operators.radon import RadonOp
+    from wire_tpu.signals import coords as C
+    from wire_tpu.train import metrics as M
+    from wire_tpu.train.trainer import FitConfig, fit_operator
+
+    img = _stand_in_ct(seed, size)
+    H, W = img.shape
+    params = jax.tree.map(
+        jax.numpy.asarray,
+        params_from_ref(nonlin if nonlin != "posenc" else "relu",
+                        torch_model, jax_model.spec.hidden_layers))
+    op = RadonOp(np.linspace(0, 180, nmeas, dtype=np.float32),
+                 method="rotate")
+    sino = np.asarray(jax.jit(op)(jax.numpy.asarray(img)))
+    cfg = FitConfig(learning_rate=_CT_LR[nonlin], niters=niters, seed=seed)
+    res = fit_operator(jax_model, params, C.grid2d(H, W), sino, op, cfg,
+                       gt_field=img, field_shape=(H, W), track="gt")
+    psnr = float(M.psnr_ref(img, res.best_rec))
+    ssim = float(M.ssim(img, res.best_rec))
+    return {"nonlin": nonlin, "task": "ct_jax", "niters": niters,
+            "size": size, "nmeas": nmeas, "psnr_ref": psnr, "ssim": ssim,
+            "best_mse": float(res.best_mse), "wall_s": res.wall_time_s,
+            "mse_hist": np.asarray(res.mse_gt).tolist()}
+
+
 def run_denoise_jax(nonlin, niters, torch_model, jax_model, seed=0):
     """wire_tpu fit at IDENTICAL settings: same stand-in data, same init
     (weights copied from the torch model), same LR/schedule."""
@@ -247,7 +376,10 @@ def run_sisr_jax(nonlin, niters, torch_model, jax_model, seed=0, scale=4):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("task", choices=["denoise", "sisr"])
+    p.add_argument("task", choices=["denoise", "sisr", "ct"])
+    p.add_argument("--size", type=int, default=256,
+                   help="ct stand-in side (256 keeps torch CPU tractable)")
+    p.add_argument("--nmeas", type=int, default=100)
     p.add_argument("nonlin")
     p.add_argument("--niters", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
@@ -272,13 +404,21 @@ def main():
             out = json.load(f)
         if a.task == "denoise":
             im, _ = _stand_in_denoise(a.seed)
-        else:
+            H, W, _ = im.shape
+        elif a.task == "sisr":
             im, _ = _stand_in_sisr(a.seed)
-        H, W, _ = im.shape
+            H, W, _ = im.shape
+        else:
+            im = _stand_in_ct(a.seed, a.size)
+            H, W = im.shape
         tm, jm = _build_torch_model(a.nonlin, a.task, H, W)
         tm.load_state_dict(torch.load(ipath, weights_only=True))
-        jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
-            a.nonlin, a.niters, tm, jm, a.seed)
+        if a.task == "ct":
+            jr = run_ct_jax(a.nonlin, a.niters, tm, jm, a.seed, a.size,
+                            a.nmeas)
+        else:
+            jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
+                a.nonlin, a.niters, tm, jm, a.seed)
         print(json.dumps({k: v for k, v in jr.items() if k != "mse_hist"}))
         out["jax"] = jr
         with open(path, "w") as f:
@@ -288,15 +428,22 @@ def main():
 
     if a.task == "denoise":
         res, (tm, jm) = run_denoise_torch(a.nonlin, a.niters, a.seed)
-    else:
+    elif a.task == "sisr":
         res, (tm, jm) = run_sisr_torch(a.nonlin, a.niters, a.seed)
+    else:
+        res, (tm, jm) = run_ct_torch(a.nonlin, a.niters, a.seed, a.size,
+                                     a.nmeas)
     print(json.dumps({k: v for k, v in res.items() if k != "mse_hist"}))
     out = {"torch": res}
     import torch
     torch.save(tm.state_dict(), ipath)  # the restored INIT (see runners)
     if a.jax:
-        jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
-            a.nonlin, a.niters, tm, jm, a.seed)
+        if a.task == "ct":
+            jr = run_ct_jax(a.nonlin, a.niters, tm, jm, a.seed, a.size,
+                            a.nmeas)
+        else:
+            jr = (run_denoise_jax if a.task == "denoise" else run_sisr_jax)(
+                a.nonlin, a.niters, tm, jm, a.seed)
         print(json.dumps({k: v for k, v in jr.items() if k != "mse_hist"}))
         out["jax"] = jr
     with open(path, "w") as f:

@@ -428,6 +428,57 @@ def siren_apply(params, coords, spec: INRSpec):
 
 
 # ===========================================================================
+# Real Gabor (modules/wire.py:6-42 RealGaborLayer) — VERDICT r4 #8.
+# cos(omega0*freqs(x)) * exp(-(sigma0*scale(x))^2) with TWO torch-default
+# Linears per layer.  The reference defines the layer but never wires it
+# into an INR (wire.py:115 hardcodes ComplexGaborLayer), so the chain
+# topology here is the shared INR convention (first + hidden_layers gabor
+# layers + final linear) with REAL parameters — no sqrt(2) width reduction
+# (that is the complex INR's, wire.py:119).
+# ===========================================================================
+
+def realgabor_init(key, spec: INRSpec):
+    h = spec.hidden_features
+    keys = jax.random.split(key, 2 * (spec.hidden_layers + 1) + 2)
+
+    def pair(k0, k1, nin):
+        return {"freqs": winit.linear_params(k0, nin, h, dtype=spec.dtype),
+                "scale": winit.linear_params(k1, nin, h, dtype=spec.dtype)}
+
+    params = {"first": pair(keys[0], keys[1], spec.in_features)}
+    for i in range(spec.hidden_layers):
+        params[f"hidden_{i}"] = pair(keys[2 + 2 * i], keys[3 + 2 * i], h)
+    if spec.outermost_linear:
+        params["final"] = winit.linear_params(keys[-1], h, spec.out_features,
+                                              dtype=spec.dtype)
+    else:
+        params["final"] = {"freqs": winit.linear_params(
+            keys[-2], h, spec.out_features, dtype=spec.dtype),
+            "scale": winit.linear_params(keys[-1], h, spec.out_features,
+                                         dtype=spec.dtype)}
+    return params
+
+
+def _real_gabor_layer(p, x, omega0, sigma0):
+    """wire.py:38-42: cos(omega_0 * freqs(x)) * exp(-(scale(x) * scale_0)^2)."""
+    omega = omega0 * linear(p["freqs"], x)
+    s = sigma0 * linear(p["scale"], x)
+    return jnp.cos(omega) * jnp.exp(-(s * s))
+
+
+def realgabor_apply(params, coords, spec: INRSpec):
+    x = _real_gabor_layer(params["first"], coords, spec.first_omega0,
+                          spec.scale)
+    for i in range(spec.hidden_layers):
+        x = _real_gabor_layer(params[f"hidden_{i}"], x, spec.hidden_omega0,
+                              spec.scale)
+    if spec.outermost_linear:
+        return linear(params["final"], x)
+    return _real_gabor_layer(params["final"], x, spec.hidden_omega0,
+                             spec.scale)
+
+
+# ===========================================================================
 # Gauss (modules/gauss.py)
 # ===========================================================================
 

@@ -18,6 +18,7 @@ from wire_tpu.nn.models import INR, INRSpec
 # nonlin name -> (init_fn, apply_fn)
 MODEL_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
     "wire": (M.wire_init, M.wire_apply),
+    "realgabor": (M.realgabor_init, M.realgabor_apply),
     "wire2d": (M.wire2d_init, M.wire2d_apply),
     "siren": (M.siren_init, M.siren_apply),
     "gauss": (M._plain_mlp_init, M.gauss_apply),
@@ -67,6 +68,8 @@ STEP_REGISTRY: Dict[str, Callable] = {
 # reference module's __init__ defaults.
 _FAMILY_DEFAULTS = {
     "wire": dict(first_omega0=30.0, hidden_omega0=30.0, scale=10.0),
+    # RealGaborLayer defaults omega0=10, sigma0=10 (wire.py:25-26)
+    "realgabor": dict(first_omega0=10.0, hidden_omega0=10.0, scale=10.0),
     "wire2d": dict(first_omega0=10.0, hidden_omega0=10.0, scale=10.0),
     "siren": dict(first_omega0=30.0, hidden_omega0=30.0, scale=10.0),
     "gauss": dict(scale=10.0),

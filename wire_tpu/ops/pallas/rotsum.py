@@ -310,15 +310,28 @@ def _fold_variants(planes, S):
             + jnp.rot90(crop[3], -3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def rotate_project(img, angles_degrees, interpret=False):
     """(S, S) image, (A,) angles in degrees -> (A, S) sinogram, exactly
     the reference operator ``sum_y rotate(img, angle)[y]``
     (lin_inverse.py:19-40 semantics).  Differentiable in ``img`` via the
-    fused adjoint kernel; the ANGLES are treated as constants (their
-    cotangent is zero — matching the reference protocol, which never
-    optimizes projection angles; use method='rotate_xla' if an angle
-    gradient is ever needed)."""
+    fused adjoint kernel; the ANGLES are compile-time CONSTANTS (the
+    reference protocol never optimizes projection angles).  Differentiating
+    — or jit-tracing — through the angle argument therefore raises loudly
+    here instead of silently yielding a zero cotangent (VERDICT r4 #4);
+    ``method='rotate_xla'`` is the angle-differentiable path."""
+    try:
+        angles_degrees = np.asarray(angles_degrees, np.float32)
+    except jax.errors.TracerArrayConversionError as e:
+        raise ValueError(
+            "rotate_project treats the projection ANGLES as constants: "
+            "they cannot be traced (jax.grad / jit argument / vmap axis). "
+            "Use radon(..., method='rotate_xla') to differentiate or trace "
+            "through angles (see operators/radon.py and PARITY.md).") from e
+    return _rotate_project(img, angles_degrees, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rotate_project(img, angles_degrees, interpret=False):
     out, _ = _rp_fwd(img, angles_degrees, interpret)
     return out
 
@@ -341,7 +354,10 @@ def _rp_bwd(interpret, res, cot):
     cot_p = jnp.pad(cot, ((0, 0), (0, n_xt * TILE_X - S)))
     _, bwd = _programs(A, S, P, interpret)
     planes_bar = bwd(cphi, sphi, kidx, cot_p[:, None, :])
+    # the angle cotangent is zero BY CONSTRUCTION (angles are concrete
+    # numpy constants — rotate_project refuses tracers up front, so no
+    # caller can observe this as a silent wrong gradient)
     return _fold_variants(planes_bar, S), jnp.zeros_like(cphi)
 
 
-rotate_project.defvjp(_rp_fwd, _rp_bwd)
+_rotate_project.defvjp(_rp_fwd, _rp_bwd)
