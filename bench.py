@@ -95,14 +95,15 @@ def main():
     print(f"backend={jax.default_backend()} wall={wall:.2f}s "
           f"(setup+warmup {setup_s:.1f}s) epochs={niters} "
           f"psnr_vs_clean={psnr:.2f}dB", file=sys.stderr)
-    # quality floor (VERDICT r2 weak #4): a numerics regression in the fused
-    # step kernel must fail the bench, not ship a fast wrong number.  The
-    # synthetic-target fit lands at ~25.5 dB (PERF.md); 24 dB is ~1.5 dB of
-    # slack over tunnel-session drift.  Explicit raise (not assert): the
-    # guard must survive python -O, and the perf line above prints first so
-    # a failure still reports its context.
-    if not psnr > 24.0:
-        raise SystemExit(f"bench PSNR floor violated: {psnr:.2f} dB <= 24")
+    # quality floor (VERDICT r2 weak #4, tightened per r4 weak #6): a
+    # numerics regression in the fused step kernel must fail the bench, not
+    # ship a fast wrong number.  The synthetic-target fit lands at ~25.46 dB
+    # with measured session drift of +-0.03 dB (results_tpu_r4/NOTES.md);
+    # 25 dB leaves ~0.45 dB slack while catching any real regression.
+    # Explicit raise (not assert): the guard must survive python -O, and the
+    # perf line above prints first so a failure still reports its context.
+    if not psnr > 25.0:
+        raise SystemExit(f"bench PSNR floor violated: {psnr:.2f} dB <= 25")
     print(json.dumps({
         "metric": "wire300_denoise_train_coords_per_s",
         "value": round(coords_per_s, 1),

@@ -130,3 +130,37 @@ def test_mfn_pair_vjp_matches_autodiff(n):
                                    atol=1e-6, err_msg=str(ka))
     np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gr_c),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_fused_accuracy_at_extreme_phase():
+    """ADVICE r4: the MFN filter phase q = c@w + b is unbounded in
+    principle; fast_sincos is exact only for |q| < ~2^13.  Scale the filter
+    weights until max|q| ~ 8e3 (far beyond any reachable init/training
+    state — see the call-site note in mfn_step.py) and pin fused-vs-jnp
+    forward agreement there."""
+    model = get_inr("mfn", in_features=2, out_features=3,
+                    hidden_features=64, hidden_layers=2)
+    params = model.init(jax.random.key(7))
+    rng = np.random.default_rng(7)
+    coords = jnp.asarray(rng.uniform(-1, 1, (512, 2)).astype(np.float32))
+
+    # scale every filter's linear weight so the worst-case phase magnitude
+    # sits just under the fast_sincos exactness bound
+    scaled = {k: dict(v) for k, v in params.items()}
+    qmax = 0.0
+    for k in scaled:
+        if k.startswith("gabor_"):
+            w = np.asarray(scaled[k]["w"])
+            cur = float(np.abs(np.asarray(coords) @ w).max())
+            f = 8000.0 / max(cur, 1e-9)
+            scaled[k]["w"] = jnp.asarray(w * f)
+            qmax = max(qmax, float(np.abs(np.asarray(coords)
+                                          @ np.asarray(scaled[k]["w"])).max()))
+    assert qmax > 7e3  # the test is vacuous if the phases stayed small
+
+    from wire_tpu.nn.models import mfn_apply
+    spec_ref = model.spec.replace(fused="never")
+    y_ref = np.asarray(mfn_apply(scaled, coords, spec_ref))
+    from wire_tpu.ops.pallas.mfn_step import mfn_mlp_fused
+    y = np.asarray(mfn_mlp_fused(scaled, coords, model.spec, interpret=True))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)

@@ -88,6 +88,14 @@ def _mfn_forward(c, w, k, _dot, _dot_nt):
         nm_ = c2 + mu2 - 2.0 * _dot_nt(c, mu)          # c @ mu^T
         e = jnp.exp(-0.5 * w[f"f{j}g"] * nm_)
         E.append(e)
+        # fast_sincos is exact to f32 rounding for |q| < ~2^13 (wire_mlp.py).
+        # The filter phase q = c@w + b is unbounded in principle, but at the
+        # reference init (w ~ U * 128*sqrt(gamma), gamma ~ Gamma(6/k),
+        # mfn.py:12-19, |c| <= sqrt(2)) |q| <~ 181*sqrt(gamma) + pi — inside
+        # the bound up to gamma ~ 2000, astronomically far into the Gamma
+        # tail; training perturbs weights by O(lr) and does not escape it.
+        # tests/test_pallas_mfn.py::test_fused_accuracy_at_extreme_phase
+        # pins agreement with the jnp oracle at |q| ~ 8000 (ADVICE r4).
         snq, csq = fast_sincos(q)
         S.append(snq)
         Cq.append(csq)

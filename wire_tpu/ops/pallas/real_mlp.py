@@ -167,17 +167,37 @@ def _dot_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds, gamma=None):
+def _basis_pair(kind):
+    """One evaluator returning (B(v), dB(v)) together, sharing work where
+    the basis allows (ADVICE r4: the sine basis' fast_sincos computes both
+    polynomials off ONE Cody-Waite reduction — evaluating B and dB through
+    separate lambdas on the same input relied on Mosaic CSE to avoid doing
+    the reduction twice)."""
+    if kind == "sine":
+        from wire_tpu.ops.pallas.wire_mlp import fast_sincos
+        return fast_sincos  # (sin, cos) == (B, dB)
+    B, dB = _basis_any(kind)
+    return lambda v: (B(v), dB(v))
+
+
+def _fwd_recurrence(c, ws, alphas, betas, wf, bf, kinds, gamma=None,
+                    want_dB=False):
+    """Forward chain.  acts entries are (z, a) — or (z, a, dBv) under
+    want_dB, for backward kernels that need dB on the SAME pre-activations
+    (one _basis_pair evaluation instead of separate B/dB calls)."""
     a = c
     acts = []
     for W, al, be, kind in zip(ws, alphas, betas, kinds):
-        B, _ = _basis_any(kind)
         z = _dot(a, W)
         v = al * z + be
         if gamma is not None:
             v = gamma * v
-        a = B(v)
-        acts.append((z, a))
+        if want_dB:
+            a, dBv = _basis_pair(kind)(v)
+            acts.append((z, a, dBv))
+        else:
+            a = _basis_any(kind)[0](v)
+            acts.append((z, a))
     y = _dot(a, wf) + bf
     return acts, y
 
@@ -228,19 +248,16 @@ def _make_bwd_kernel(L, kinds, row_gamma=None):
 
         c = c_ref[:]
         acts, _ = _fwd_recurrence(c, ws, alphas, betas,
-                                  wf, refs[3 + 3 * L][:], kinds, gamma)
+                                  wf, refs[3 + 3 * L][:], kinds, gamma,
+                                  want_dB=True)
         g = g_ref[:]
         a_last = acts[-1][1]
         acc(dwf_ref, _dot_tn(a_last, g))
         acc(dbf_ref, jnp.sum(g, axis=0, keepdims=True))
         da = _dot_nt(g, wf)
         for li in range(L - 1, -1, -1):
-            z, _ = acts[li]
-            _, dB = _basis_any(kinds[li])
-            v = alphas[li] * z + betas[li]
-            if gamma is not None:
-                v = gamma * v
-            dv = dB(v) * da
+            z, _, dBv = acts[li]
+            dv = dBv * da
             # v = gamma*(alpha*z + beta): the gamma factor distributes onto
             # dz, dalpha and dbeta alike
             if gamma is not None:

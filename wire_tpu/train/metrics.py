@@ -104,6 +104,14 @@ def ssim(x, y, data_range=1.0, win_size=7):
     """skimage.metrics.structural_similarity-compatible SSIM (float64,
     host-side numpy — see _ssim_single).
 
+    HOST-ONLY, not jit-compatible (ADVICE r4): takes concrete arrays and
+    returns a Python float — np.asarray on a tracer raises.  The r4
+    cancellation fix (E[x^2]-mu^2 in f32 loses all significance on smooth
+    reconstructions, results_tpu_r4/NOTES.md) moved it to host f64
+    deliberately; every call site is a post-fit metric.  For an in-graph
+    differentiable SSIM use ``ssim_gaussian``/``ms_ssim`` below (jnp,
+    pytorch_msssim-convention Gaussian window — NOT the skimage number).
+
     2D arrays, or 3D with the last axis as channels (channel-mean, matching
     multichannel=True)."""
     x = np.asarray(x, np.float64)
