@@ -101,3 +101,35 @@ def test_wire2d_trains_through_step_grads():
     res = fit_pointwise(model, params, C.grid2d(H, W), im.reshape(-1, 3),
                         cfg, gt=im.reshape(-1, 3), donate=False)
     assert res.mse_gt[-1] < res.mse_gt[0] * 0.5
+
+
+@pytest.mark.parametrize("n", [512, 700, 1100])
+def test_wire2d_pair_vjp_matches_autodiff(n):
+    """The r5 apply pair (fused fwd + recompute-backward with external
+    cotangent, incl. dcoords) must match XLA autodiff of the jnp path —
+    including across tile boundaries (n=700, 1100 straddle the 512-row
+    tiles; VERDICT r4 #3)."""
+    from wire_tpu.ops.pallas.wire2d_step import wire2d_mlp_fused
+    model, params, coords, target = _setup(n=n, hf=96)
+
+    spec_ref = dataclasses.replace(model.spec, fused="never")
+
+    def loss_ref(p, c):
+        from wire_tpu.nn.models import wire2d_apply
+        return jnp.mean((wire2d_apply(p, c, spec_ref) - target) ** 2)
+
+    def loss_fused(p, c):
+        return jnp.mean((wire2d_mlp_fused(p, c, model.spec, interpret=True)
+                         - target) ** 2)
+
+    y_ref = wire2d_mlp_fused(params, coords, model.spec, interpret=True)
+    from wire_tpu.nn.models import wire2d_apply
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(wire2d_apply(params, coords, spec_ref)),
+        rtol=2e-4, atol=1e-5)
+
+    (gr_p, gr_c) = jax.grad(loss_ref, argnums=(0, 1))(params, coords)
+    (gf_p, gf_c) = jax.grad(loss_fused, argnums=(0, 1))(params, coords)
+    _assert_tree_close(gf_p, gr_p, rtol=3e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gr_c),
+                               rtol=3e-4, atol=2e-6)

@@ -368,3 +368,295 @@ def wire2d_step_fused(params, coords, target, spec, *, nvalid=None,
     if want_metrics:
         return pred, dparams, sums
     return pred, dparams
+
+
+# ===========================================================================
+# Apply/VJP pair (VERDICT r4 #3): fused forward + recompute-backward with an
+# EXTERNAL cotangent — the model path for operator fits (CT/SISR render the
+# field then differentiate through radon/downsample; the one-pass step
+# kernel above cannot absorb a global operator).  Same machinery as
+# wire_mlp.py's pair (see its docstring for the measured scheduling facts):
+# forward runs two independent half-tile chains to fill MXU dependency
+# stalls; backward recomputes tile i's activations pipelined against the
+# backward of tile i-1, emits dcoords blocks, and accumulates weight grads
+# in VMEM scratch flushed at the phantom final step.
+# ===========================================================================
+
+def _gabor2d_first(z1, first_omega0, s2, hp):
+    lr, orr = z1[:, :hp], z1[:, hp:]
+    m = jnp.exp(-s2 * (lr * lr + orr * orr))
+    sn, cs = fast_sincos(first_omega0 * lr)
+    return jnp.concatenate([m * cs, m * sn], axis=1)
+
+
+def _gabor2d(z, omega0, s2, hp):
+    lr, li = z[:, :hp], z[:, hp:2 * hp]
+    orr, ori = z[:, 2 * hp:3 * hp], z[:, 3 * hp:]
+    m = jnp.exp(-omega0 * li
+                - s2 * (lr * lr + li * li + orr * orr + ori * ori))
+    sn, cs = fast_sincos(omega0 * lr)
+    return jnp.concatenate([m * cs, m * sn], axis=1)
+
+
+def _make_mlp_fwd_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                         hp):
+    _dot, _, _ = _make_dot(precision)
+    s2 = sigma0 * sigma0
+    half = TILE_N // 2
+
+    def kernel(*refs):
+        c_ref = refs[0]
+        w = {nm: refs[1 + k][:] for k, nm in enumerate(names)}
+        out_ref = refs[1 + len(names)]
+        c = c_ref[:]
+        za = _dot(c[:half], w["w1"]) + w["b1"]
+        zb = _dot(c[half:], w["w1"]) + w["b1"]
+        aa = _gabor2d_first(za, first_omega0, s2, hp)
+        ab = _gabor2d_first(zb, first_omega0, s2, hp)
+        for li in range(L):
+            za = _dot(aa, w[f"h{li}W"]) + w[f"h{li}B"]
+            zb = _dot(ab, w[f"h{li}W"]) + w[f"h{li}B"]
+            aa = _gabor2d(za, omega0, s2, hp)
+            ab = _gabor2d(zb, omega0, s2, hp)
+        ya = _dot(aa, w["fW"]) + w["fb"]
+        yb = _dot(ab, w["fW"]) + w["fb"]
+        out_ref[:] = jnp.concatenate([ya, yb], axis=0)
+    return kernel
+
+
+def _make_mlp_bwd_kernel(L, omega0, sigma0, first_omega0, names, precision,
+                         tile_n, hp, n_tiles):
+    _dot, _dot_tn, _dot_nt = _make_dot(precision)
+    s2 = sigma0 * sigma0
+
+    def kernel(*refs):
+        c_ref, g_ref = refs[0], refs[1]
+        w = {nm: refs[2 + k][:] for k, nm in enumerate(names)}
+        outs = refs[2 + len(names):]
+        dc_ref = outs[0]
+        dout = {nm: outs[1 + k] for k, nm in enumerate(names)}
+        rest = outs[1 + len(names):]
+        dacc = {nm: rest[k] for k, nm in enumerate(names)}
+        live = rest[len(names):]
+        sc_c, sc_z1 = live[0], live[1]
+        sc_layer = [(live[2 + 2 * li], live[3 + 2 * li])    # (a_in, z4)
+                    for li in range(L)]
+        sc_afin = live[2 + 2 * L]
+
+        i = pl.program_id(0)
+        sf = jax.lax.rem(i, 2)
+        sb = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _zero():
+            for nm in names:
+                dacc[nm][:] = jnp.zeros_like(dacc[nm])
+            for ref in live:
+                ref[1] = jnp.zeros_like(ref[1])
+
+        def acc(nm, val):
+            dacc[nm][:] += val
+
+        # ---- fwd-recompute(tile i) interleaved with bwd(tile i-1) --------
+        c = c_ref[:]
+        sc_c[sf] = c
+        z1 = _dot(c, w["w1"]) + w["b1"]
+
+        # phantom-step weighting of the external cotangent (wire_mlp.py:
+        # fb sums g directly, so zero the block, not just the products)
+        g_b = (i > 0).astype(jnp.float32) * g_ref[:]
+        afin_b = sc_afin[sb]
+        acc("fW", _dot_tn(afin_b, g_b))
+        da = _dot_nt(g_b, w["fW"])
+
+        sc_z1[sf] = z1
+        a = _gabor2d_first(z1, first_omega0, s2, hp)
+        acc("fb", jnp.sum(g_b, axis=0, keepdims=True))
+
+        a_out_b = afin_b
+        for li in range(L):
+            sc_layer[li][0][sf] = a
+            z = _dot(a, w[f"h{li}W"]) + w[f"h{li}B"]
+
+            bj = L - 1 - li
+            a_in_b = sc_layer[bj][0][sb]
+            z_b = sc_layer[bj][1][sb]
+            lr_b, li_b = z_b[:, :hp], z_b[:, hp:2 * hp]
+            or_b, oi_b = z_b[:, 2 * hp:3 * hp], z_b[:, 3 * hp:]
+            ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+            dar, dai = da[:, :hp], da[:, hp:]
+            t1 = dar * ar_b + dai * ai_b
+            t2 = dai * ar_b - dar * ai_b
+            dlr = (-2.0 * s2) * lr_b * t1 + omega0 * t2
+            dli = (-omega0 - (2.0 * s2) * li_b) * t1
+            dor = (-2.0 * s2) * or_b * t1
+            doi = (-2.0 * s2) * oi_b * t1
+            dz = jnp.concatenate([dlr, dli, dor, doi], axis=1)
+
+            sc_layer[li][1][sf] = z
+
+            acc(f"h{bj}W", _dot_tn(a_in_b, dz))
+            acc(f"h{bj}B", jnp.sum(dz, axis=0, keepdims=True))
+            da = _dot_nt(dz, w[f"h{bj}W"])
+            a = _gabor2d(z, omega0, s2, hp)
+            a_out_b = a_in_b
+
+        sc_afin[sf] = a
+
+        # bwd epilogue: first layer of tile i-1, dcoords out
+        z1_b = sc_z1[sb]
+        lr_b, or_b = z1_b[:, :hp], z1_b[:, hp:]
+        ar_b, ai_b = a_out_b[:, :hp], a_out_b[:, hp:]
+        dar, dai = da[:, :hp], da[:, hp:]
+        t1 = dar * ar_b + dai * ai_b
+        t2 = dai * ar_b - dar * ai_b
+        dlr1 = (-2.0 * s2) * lr_b * t1 + first_omega0 * t2
+        dor1 = (-2.0 * s2) * or_b * t1
+        dz1 = jnp.concatenate([dlr1, dor1], axis=1)
+        acc("w1", _dot_tn(sc_c[sb], dz1))
+        acc("b1", jnp.sum(dz1, axis=0, keepdims=True))
+        dc_ref[:] = _dot_nt(dz1, w["w1"])
+
+        @pl.when(i == n_tiles)
+        def _flush():
+            for nm in names:
+                dout[nm][:] = dacc[nm][:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _mlp_programs(L, omega0, sigma0, first_omega0, d, h, o, tile_n, n_tiles,
+                  interpret, precision="default"):
+    hp = _round_up(h, 128)
+    op = _round_up(max(o, 1), 128)
+    names = ["w1", "b1"]
+    for i in range(L):
+        names += [f"h{i}W", f"h{i}B"]
+    names += ["fW", "fb"]
+    shapes = {"w1": (d, 2 * hp), "b1": (1, 2 * hp), "fW": (2 * hp, op),
+              "fb": (1, op)}
+    for i in range(L):
+        shapes[f"h{i}W"] = (2 * hp, 4 * hp)
+        shapes[f"h{i}B"] = (1, 4 * hp)
+
+    def wspec(nm):
+        s = shapes[nm]
+        zeros = (0,) * len(s)
+        return pl.BlockSpec(s, lambda i, z=zeros: z,
+                            memory_space=pltpu.VMEM)
+
+    fwd = pl.pallas_call(
+        _make_mlp_fwd_kernel(L, omega0, sigma0, first_omega0, names,
+                             precision, hp),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [wspec(nm) for nm in names],
+        out_specs=pl.BlockSpec((tile_n, op), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, op), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def imap_cur(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)
+
+    def imap_prev(i):
+        return (jnp.clip(i - 1, 0, n_tiles - 1), 0)
+
+    scratch = [pltpu.VMEM(shapes[nm], jnp.float32) for nm in names]
+    scratch += [pltpu.VMEM((2, tile_n, d), jnp.float32),        # c
+                pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32)]   # z1
+    for _ in range(L):
+        scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32),  # a_in
+                    pltpu.VMEM((2, tile_n, 4 * hp), jnp.float32)]  # z4
+    scratch += [pltpu.VMEM((2, tile_n, 2 * hp), jnp.float32)]      # a_fin
+
+    bwd = pl.pallas_call(
+        _make_mlp_bwd_kernel(L, omega0, sigma0, first_omega0, names,
+                             precision, tile_n, hp, n_tiles),
+        grid=(n_tiles + 1,),
+        in_specs=[pl.BlockSpec((tile_n, d), imap_cur,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile_n, op), imap_prev,
+                               memory_space=pltpu.VMEM)]
+                 + [wspec(nm) for nm in names],
+        out_specs=[pl.BlockSpec((tile_n, d), imap_prev,
+                                memory_space=pltpu.VMEM)]
+                  + [wspec(nm) for nm in names],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles * tile_n, d), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(shapes[nm], jnp.float32)
+                     for nm in names],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+    return fwd, bwd, names, hp, op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _wire2d_fused(params, coords, L, omega0, sigma0, first_omega0,
+                  interpret, precision):
+    out, _ = _wire2d_fused_fwd(params, coords, L, omega0, sigma0,
+                               first_omega0, interpret, precision)
+    return out
+
+
+def _wire2d_fused_fwd(params, coords, L, omega0, sigma0, first_omega0,
+                      interpret, precision):
+    n, d = coords.shape
+    h = params["first_lin"]["w"].shape[1]
+    o = params["final"]["br"].shape[0]
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    fwd, _, names, hp, op = _mlp_programs(
+        L, float(omega0), float(sigma0), float(first_omega0), d, h, o,
+        TILE_N, n_tiles, interpret, precision)
+    padded = _pad_params_stacked(params, L, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    out = fwd(cpad, *[padded[nm] for nm in names])
+    return out[:n, :o], (params, coords)
+
+
+def _wire2d_fused_bwd(L, omega0, sigma0, first_omega0, interpret, precision,
+                      res, g):
+    params, coords = res
+    n, d = coords.shape
+    h = params["first_lin"]["w"].shape[1]
+    o = params["final"]["br"].shape[0]
+    n_pad = _round_up(n, TILE_N)
+    n_tiles = n_pad // TILE_N
+    _, bwd, names, hp, op = _mlp_programs(
+        L, float(omega0), float(sigma0), float(first_omega0), d, h, o,
+        TILE_N, n_tiles, interpret, precision)
+    padded = _pad_params_stacked(params, L, hp, op)
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    gpad = jnp.pad(g, ((0, n_pad - n), (0, op - o)))
+    outs = bwd(cpad, gpad, *[padded[nm] for nm in names])
+    dc = outs[0][:n]
+    dw = {nm: outs[1 + k] for k, nm in enumerate(names)}
+    dparams = _unstack_grads(dw, params, L, h, hp, o)
+    return dparams, dc
+
+
+_wire2d_fused.defvjp(_wire2d_fused_fwd, _wire2d_fused_bwd)
+
+
+def wire2d_mlp_fused(params, coords, spec, interpret=False):
+    """Fused wire2d forward with custom fused VJP (incl. dcoords).
+    coords (..., d) -> (..., o).  yi is discarded by the model, so
+    dfinal.bi == 0 and dfinal.wi carries only the -ai^T g term — identical
+    to autodiff of the jnp path (wire2d.py:56-67 semantics)."""
+    lead = coords.shape[:-1]
+    c2 = coords.reshape(-1, coords.shape[-1])
+    out = _wire2d_fused(params, c2, spec.hidden_layers,
+                        float(spec.hidden_omega0), float(spec.scale),
+                        float(spec.first_omega0), interpret,
+                        getattr(spec, "gemm_precision", "default"))
+    return out.reshape(*lead, out.shape[-1])
