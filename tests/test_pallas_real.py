@@ -222,3 +222,51 @@ def test_knots_step_matches_autodiff():
             sorted(jax.tree_util.tree_flatten_with_path(g_ref)[0], key=str)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=1e-6, err_msg=str(kp))
+
+
+@pytest.mark.parametrize("n,ns", [(600, 2), (1100, 3)])
+def test_mscale2_onepass_step_matches_autodiff(n, ns):
+    """The r5 ONE-PASS mscale_2 step kernel (trunks + freq_combine combiner
+    + loss-grad + backward in a single pallas_call, VERDICT r4 #2) must
+    match autodiff of the jnp path: pred, every native grad (incl. the
+    combiner's freq_mlp), metric sums, and tail-sentinel masking."""
+    import dataclasses
+    from wire_tpu.nn.models import mscale2_step, mscale2_apply
+    scale_tensor = (0.5, 4.0, 9.0)[:ns]
+    model = get_inr("bspline_mscale_2", in_features=2, hidden_features=40,
+                    hidden_layers=2, out_features=3, scale=2.0,
+                    scale_tensor=scale_tensor, fused="always")
+    params = model.init(jax.random.key(1))
+    rng = np.random.default_rng(1)
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    gtv = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    nvalid, denom = n - 37, float((n - 37) * 3)
+
+    spec_ref = dataclasses.replace(model.spec, fused="never")
+
+    def loss_fn(p):
+        pred = mscale2_apply(p, coords, spec_ref)
+        err = (pred - target) * (jnp.arange(n)[:, None] < nvalid)
+        return jnp.sum(err * err) / denom, pred
+
+    (_, pred_ref), g_ref = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    out = mscale2_step(params, coords, target, model.spec, nvalid=nvalid,
+                       denom=denom, gt=gtv, want_metrics=True)
+    assert out is not None
+    pred, g, (sse_t, sse_g) = out
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               rtol=2e-4, atol=1e-5)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                               jax.tree_util.tree_flatten_with_path(g)[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
+                                   atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(kp))
+    m = (np.arange(n)[:, None] < nvalid)
+    np.testing.assert_allclose(
+        float(sse_t), float(np.sum((m * (np.asarray(pred_ref) - target)) ** 2)),
+        rtol=1e-4)
+    np.testing.assert_allclose(
+        float(sse_g), float(np.sum((m * (np.asarray(pred_ref) - gtv)) ** 2)),
+        rtol=1e-4)
