@@ -80,6 +80,38 @@ def _build(nonlin, task, H, W, tau, in_features=2, out_features=3,
     return model
 
 
+def sweep_denoise_seeds(nonlin, n_seeds, image=None, results_dir="results",
+                        seed0=0, niters=2000, tau=3e1, noise_snr=2,
+                        size=512, downscale=0.5):
+    """Multi-seed denoise fits of ONE family in a single device program
+    (trainer.fit_pointwise_many, VERDICT r4 #6): replica r runs seed
+    seed0 + r on the same noisy stand-in — the robustness-quartet /
+    seed-sweep workload the reference's serial scripts repeat one process
+    at a time.  Returns per-seed PSNRs (reference formula)."""
+    import jax.numpy as jnp
+    from wire_tpu.train.trainer import fit_pointwise_many
+    im = common.load_image(image, size=size, channels=3, seed=seed0)
+    if downscale != 1:
+        im = I.resize_area(im, downscale)
+    H, W, _ = im.shape
+    rng = np.random.RandomState(seed0)
+    im_noisy = N.measure_np(im, noise_snr, tau, rng=rng).astype(np.float32)
+    model = _build(nonlin, "denoise", H, W, tau)
+    keys = jax.random.split(jax.random.key(seed0), n_seeds)
+    pstack = jax.vmap(lambda k: model._init(k, model.spec))(keys)
+    cfg = FitConfig(learning_rate=_DENOISE_LR[nonlin], niters=niters,
+                    maxpoints=256 * 256, scale_lr_by_batch=True, seed=seed0)
+    res = fit_pointwise_many(model, pstack, C.grid2d(H, W),
+                             jnp.asarray(im_noisy.reshape(-1, 3)), cfg,
+                             gt=im.reshape(-1, 3), track="gt")
+    psnrs = [float(M.psnr_ref(im, res.best_rec[r].reshape(H, W, 3)))
+             for r in range(n_seeds)]
+    A.log(f"denoise {nonlin} x{n_seeds} seeds: "
+          + " ".join(f"{p:.2f}" for p in psnrs)
+          + f" ({res.wall_time_s:.1f}s total)")
+    return {"psnrs": psnrs, "wall_s": res.wall_time_s, "recs": res.best_rec}
+
+
 def sweep_denoise(image=None, results_dir="results", seed=0, niters=2000,
                   tau=3e1, noise_snr=2, nonlins=NONLINS, size=512,
                   downscale=0.5):
@@ -216,7 +248,17 @@ def main(argv=None):
     p.add_argument("--niters", type=int, default=None)
     p.add_argument("--nonlins", nargs="+", default=NONLINS)
     p.add_argument("--downscale", type=float, default=None)
+    p.add_argument("--seeds", type=int, default=0,
+                   help="denoise only: run this many seeds of ONE family "
+                        "(the first of --nonlins) batched in one program")
     a = p.parse_args(argv)
+    if a.seeds and a.task == "denoise":
+        sweep_denoise_seeds(a.nonlins[0], a.seeds, image=a.image,
+                            results_dir=a.results_dir,
+                            niters=a.niters or 2000,
+                            downscale=(0.5 if a.downscale is None
+                                       else a.downscale))
+        return
     kw = dict(image=a.image, results_dir=a.results_dir, nonlins=a.nonlins)
     if a.niters:
         kw["niters"] = a.niters

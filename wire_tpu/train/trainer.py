@@ -58,8 +58,24 @@ class FitConfig:
     # scatter into near-sequential HBM access (TPU random gathers are the
     # chunk protocol's bottleneck).  Sorting keeps padding sentinels
     # tail-contiguous (they are the largest values).  Off by default for
-    # bitwise reference-composition parity.
+    # bitwise reference-composition parity.  (r5 note: measured at the
+    # occupancy shape the in-chunk sort costs MORE than it saves —
+    # tools/exp_occ_profile.py; block_perm below is the winning lever.)
     sort_chunks: bool = False
+    # Permute contiguous BLOCKS of this many points instead of single
+    # points (0 = off, the reference's exact per-point permutation).  The
+    # per-chunk target/gt gather and rec scatter then move (block x c)-wide
+    # rows instead of single elements, and the per-epoch permutation sorts
+    # npoints/block keys instead of npoints — measured at the 256^3
+    # occupancy shape this removes ALL of the random-access overhead
+    # (chunk cost drops to the kernel-only floor; tools/exp_occ_profile.py:
+    # 10.4 -> 7.6 ms/chunk).  DEVIATION: minibatches are then unions of
+    # random contiguous blocks (e.g. z-runs of the volume grid), not
+    # uniform point samples — gradients stay unbiased, per-chunk variance
+    # rises slightly; quality parity at the occupancy protocol is pinned in
+    # tools/exp_occ_blockperm.py.  Requires npoints % block_perm == 0 and
+    # no tv_weight.
+    block_perm: int = 0
 
 
 @dataclasses.dataclass
@@ -352,9 +368,24 @@ def fit_pointwise(model, params, coords, target, cfg: FitConfig, *,
         npoints = coords.shape[0]
     target = jnp.asarray(target)
     gt_arr = target if gt is None else jnp.asarray(gt)
-    mp = min(cfg.maxpoints, npoints)
-    nchunks = (npoints + mp - 1) // mp
-    npad = nchunks * mp - npoints
+    U = int(cfg.block_perm or 0)
+    if U > 1:
+        if npoints % U:
+            raise ValueError(
+                f"block_perm={U} requires npoints ({npoints}) divisible by "
+                f"the block size")
+        if tv_weight:
+            raise ValueError("block_perm is incompatible with tv_weight "
+                             "(TV renders the full grid)")
+        nunits = npoints // U
+        mpu = max(min(cfg.maxpoints // U, nunits), 1)
+        mp = mpu * U
+        nchunks = (nunits + mpu - 1) // mpu
+        npad = (nchunks * mpu - nunits) * U
+    else:
+        mp = min(cfg.maxpoints, npoints)
+        nchunks = (npoints + mp - 1) // mp
+        npad = nchunks * mp - npoints
 
     seg = min(cfg.niters, max(cfg.scan_segment, 1))
     tx, run = _pointwise_program(
@@ -419,6 +450,156 @@ def _tv(image_nchw):
     dx = image_nchw[:, :, 1:, :] - image_nchw[:, :, :-1, :]
     dy = image_nchw[:, :, :, 1:] - image_nchw[:, :, :, :-1]
     return jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-fit (VERDICT r4 #6): M independent fits of the same
+# architecture in ONE device program — a TPU-native capability the
+# reference's serial script loops cannot express.  The epoch body
+# (permute -> chunked fused steps -> Adam -> best tracking) is vmapped over
+# a leading replica axis of (params, optimizer state, RNG key); the fused
+# Pallas step kernels batch through their vmap rule (verified equal to the
+# unbatched kernel).  Replica r runs seed cfg.seed + r, reproducing
+# fit_pointwise(seed=cfg.seed+r) trajectories exactly (tested).
+# ---------------------------------------------------------------------------
+
+def _pointwise_many_program(model, cfg: FitConfig, seg_len, npoints,
+                            nchunks, mp, npad, track, donate, grid):
+    cache_key = (model, cfg, seg_len, npoints, nchunks, mp, npad, track,
+                 donate, grid, "many")
+    hit = _PROGRAMS.get(cache_key)
+    if hit is not None:
+        return hit
+    tx = make_optimizer(cfg, None, npoints=npoints, nchunks=nchunks)
+
+    def run_impl(carry, coords, target, gt_arr):
+        if grid is not None:
+            crows = grid.rows
+            cfull = lambda: grid.rows(jnp.arange(npoints))  # noqa: E731
+        else:
+            crows = lambda s: coords[s]                     # noqa: E731
+            cfull = lambda: coords                          # noqa: E731
+        full_batch = (nchunks == 1 and npad == 0)
+        inv_nc = 1.0 / (npoints * target.shape[-1])
+
+        def epoch_body(carry, _):
+            def one(carry):
+                (params, opt_state, rec, key, best_mse, best_rec,
+                 best_params) = carry
+                if full_batch:
+                    pred, grads, sums = model.step_grads(
+                        params, cfull(), target, gt=gt_arr,
+                        want_metrics=True)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    rec = pred
+                else:
+                    key, sub = jax.random.split(key)
+                    perm = jax.random.permutation(sub, npoints)
+                    if npad:
+                        perm = jnp.concatenate(
+                            [perm, jnp.full((npad,), npoints, perm.dtype)])
+                    perm = perm.reshape(nchunks, mp)
+                    if cfg.sort_chunks:
+                        perm = jnp.sort(perm, axis=1)
+
+                    def chunk_body(inner, idx):
+                        params, opt_state, rec = inner
+                        nvalid = jnp.sum(idx < npoints)
+                        safe = jnp.minimum(idx, npoints - 1)
+                        denom = (nvalid.astype(jnp.float32)
+                                 * target.shape[-1])
+                        pred, grads, csums = model.step_grads(
+                            params, crows(safe), target[safe],
+                            nvalid=nvalid, denom=denom, gt=gt_arr[safe],
+                            want_metrics=True)
+                        updates, opt_state = tx.update(grads, opt_state,
+                                                       params)
+                        params = optax.apply_updates(params, updates)
+                        rec = rec.at[idx].set(pred, mode="drop")
+                        return (params, opt_state, rec), csums
+
+                    (params, opt_state, rec), chunk_sums = jax.lax.scan(
+                        chunk_body, (params, opt_state, rec), perm)
+                    sums = (jnp.sum(chunk_sums[0]), jnp.sum(chunk_sums[1]))
+                mse_noisy = sums[0] * inv_nc
+                mse_gt = sums[1] * inv_nc
+                tracked = mse_gt if track == "gt" else mse_noisy
+                is_best = tracked < best_mse
+                best_mse = jnp.where(is_best, tracked, best_mse)
+                best_rec, best_params = track_best(
+                    is_best, (rec, params), (best_rec, best_params))
+                return ((params, opt_state, rec, key, best_mse, best_rec,
+                         best_params), (mse_gt, mse_noisy))
+            return jax.vmap(one)(carry)
+
+        return jax.lax.scan(epoch_body, carry, None, length=seg_len)
+
+    run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
+    _PROGRAMS[cache_key] = (tx, run)
+    return tx, run
+
+
+def fit_pointwise_many(model, params_stack, coords, target, cfg: FitConfig,
+                       *, gt=None, track="gt", donate=False):
+    """Fit M replicas of the same architecture in ONE jitted program.
+
+    params_stack: a params pytree with a leading replica axis (e.g.
+    ``jax.vmap(lambda k: model.init... )`` or ``jax.tree.map(lambda *x:
+    jnp.stack(x), *params_list)``).  Replica r uses seed ``cfg.seed + r``
+    and reproduces the ``fit_pointwise(..., seed=cfg.seed+r)`` trajectory.
+    Returns a FitResult whose params/recs/histories carry the leading M
+    axis (mse histories shaped (niters, M); best_mse (M,))."""
+    from wire_tpu.signals.coords import GridSpec
+    grid = coords if isinstance(coords, GridSpec) else None
+    if grid is not None:
+        npoints = grid.npoints
+        coords = jnp.zeros((1, grid.in_features), jnp.float32)
+    else:
+        coords = jnp.asarray(coords)
+        npoints = coords.shape[0]
+    target = jnp.asarray(target)
+    gt_arr = target if gt is None else jnp.asarray(gt)
+    M = jax.tree.leaves(params_stack)[0].shape[0]
+    mp = min(cfg.maxpoints, npoints)
+    nchunks = (npoints + mp - 1) // mp
+    npad = nchunks * mp - npoints
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    tx, run = _pointwise_many_program(model, cfg, seg, npoints, nchunks, mp,
+                                      npad, track, donate, grid)
+    setup = _fit_setup(model, cfg, tx)
+    opt_state, _, best_params = jax.vmap(
+        lambda p, s: setup(p, s))(params_stack,
+                                  jnp.arange(M, dtype=jnp.uint32) * 0)
+    keys = jax.vmap(jax.random.key)(
+        jnp.uint32(cfg.seed) + jnp.arange(M, dtype=jnp.uint32))
+    c = target.shape[-1]
+    z = jnp.zeros((M, npoints, c), target.dtype)
+    carry = (params_stack, opt_state, z, keys,
+             jnp.full((M,), jnp.inf, jnp.float32), z + 0,
+             best_params)
+    hists = []
+    done = 0
+    t0 = time.time()
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        if this != seg:
+            _, run = _pointwise_many_program(model, cfg, this, npoints,
+                                             nchunks, mp, npad, track,
+                                             donate, grid)
+        carry, hist = run(carry, coords, target, gt_arr)
+        hists.append(hist)
+        done += this
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    mse_gt, mse_noisy = (
+        np.concatenate([np.asarray(h[i]) for h in hists]) for i in range(2))
+    params, _, rec, _, best_mse, best_rec, best_params = carry
+    return FitResult(
+        params=params, best_params=best_params,
+        best_rec=np.asarray(best_rec), final_rec=np.asarray(rec),
+        mse_gt=mse_gt, mse_noisy=mse_noisy,
+        best_mse=np.asarray(best_mse), wall_time_s=wall)
 
 
 def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
@@ -708,6 +889,56 @@ def _pointwise_program(model, cfg: FitConfig, seg_len, npoints, nchunks, mp,
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 rec = pred
+            elif cfg.block_perm and int(cfg.block_perm) > 1 and use_step:
+                # block-permutation path (r5, VERDICT r4 #5): permute
+                # contiguous U-point blocks; gathers/scatters move
+                # (U*c)-wide rows and the permutation sorts npoints/U keys.
+                U = int(cfg.block_perm)
+                nunits = npoints // U
+                mpu = mp // U
+                c_dim = target.shape[-1]
+                key, sub = jax.random.split(key)
+                uperm = jax.random.permutation(sub, nunits)
+                if npad:
+                    uperm = jnp.concatenate(
+                        [uperm, jnp.full((npad // U,), nunits, uperm.dtype)])
+                uperm = uperm.reshape(nchunks, mpu)
+                if cfg.sort_chunks:
+                    uperm = jnp.sort(uperm, axis=1)
+                tgt_u = target.reshape(nunits, U, c_dim)
+                gt_u = gt_arr.reshape(nunits, U, c_dim)
+                coords_u = (None if grid is not None
+                            else coords.reshape(nunits, U, -1))
+
+                def chunk_body(inner, ublk):
+                    params, opt_state, rec = inner
+                    # sentinel blocks (== nunits) are tail-contiguous; mask
+                    # via nvalid like the per-point path
+                    valid = (ublk < nunits)
+                    safe = jnp.minimum(ublk, nunits - 1)
+                    nvalid = jnp.sum(valid) * U
+                    denom = nvalid.astype(jnp.float32) * c_dim
+                    if grid is not None:
+                        ridx = (safe[:, None] * U
+                                + jnp.arange(U)[None]).reshape(-1)
+                        rows = grid.rows(ridx)
+                    else:
+                        rows = coords_u[safe].reshape(mpu * U, -1)
+                    t = tgt_u[safe].reshape(mpu * U, c_dim)
+                    g = gt_u[safe].reshape(mpu * U, c_dim)
+                    pred, grads, csums = model.step_grads(
+                        params, rows, t, nvalid=nvalid, denom=denom, gt=g,
+                        want_metrics=True)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    rec = rec.reshape(nunits, U, c_dim).at[ublk].set(
+                        pred.reshape(mpu, U, c_dim),
+                        mode="drop").reshape(npoints, c_dim)
+                    return (params, opt_state, rec), csums
+
+                (params, opt_state, rec), chunk_sums = jax.lax.scan(
+                    chunk_body, (params, opt_state, rec), uperm)
+                sums = (jnp.sum(chunk_sums[0]), jnp.sum(chunk_sums[1]))
             else:
                 key, sub = jax.random.split(key)
                 perm = jax.random.permutation(sub, npoints)
