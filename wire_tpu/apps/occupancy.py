@@ -64,7 +64,7 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
         niters=200, size=64, scale=1.0, maxpoints=int(2e5),
         hidden_layers=3, hidden_features=300, mcubes_thres=0.5, mesh=None,
         scan_segment=None, checkpoint_path=None, checkpoint_every=1,
-        lr_decay=0.2):
+        lr_decay=0.2, block_perm=0):
     A.log(f"Running {nonlin} occupancy")
     if volume_mat:
         im = V.load_volume_mat(volume_mat, scale=scale)
@@ -114,8 +114,13 @@ def run(nonlin="wire", *, volume_mat=None, results_dir="results", seed=0,
     # lr_decay=0.2 is the reference schedule (wire_occupancy.py:122);
     # at 512^3 the long high-LR phase caps IoU at ~0.986 and lr_decay=0.008
     # reaches 0.9965 (PERF.md round 3, tools/run_occ512_tuned.py)
+    # block_perm=512: permute contiguous 512-point blocks instead of
+    # points — 1.9x end-to-end at IoU parity on the volume protocol
+    # (results_tpu_r5/occupancy/blockperm_256.json; composition deviation
+    # documented on FitConfig).  Off by default for reference composition.
     fit_cfg = FitConfig(learning_rate=_LR.get(nonlin, 5e-3), niters=niters,
-                        maxpoints=maxpoints, lr_decay=lr_decay, seed=seed)
+                        maxpoints=maxpoints, lr_decay=lr_decay, seed=seed,
+                        block_perm=block_perm)
     if scan_segment is not None:
         # big volumes: keep each device program under the remote-backend
         # execution deadline (~1s/epoch at 256^3)
@@ -193,11 +198,16 @@ def main(argv=None):
     p.add_argument("--lr_decay", type=float, default=0.2,
                    help="LR decay factor over niters (reference: 0.2; "
                         "0.008 sharpens large-volume boundaries, PERF.md)")
+    p.add_argument("--block_perm", type=int, default=0,
+                   help="permute contiguous N-point blocks instead of "
+                        "points (512 recommended: ~1.9x at IoU parity; "
+                        "0 = reference per-point composition)")
     a = p.parse_args(argv)
     from wire_tpu.apps.common import mesh_from_arg
     run(a.nonlin, volume_mat=a.volume_mat, results_dir=a.results_dir,
         niters=a.niters, size=a.size, seed=a.seed,
-        mesh=mesh_from_arg(a.mesh), lr_decay=a.lr_decay)
+        mesh=mesh_from_arg(a.mesh), lr_decay=a.lr_decay,
+        block_perm=a.block_perm)
 
 
 if __name__ == "__main__":
