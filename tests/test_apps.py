@@ -151,3 +151,14 @@ def test_ct_app_mesh(tiny_preset, tmp_path):
                   mesh=make_mesh(8))
     assert abs(out8["psnr"] - out1["psnr"]) < 0.05
     assert abs(out8["ssim"] - out1["ssim"]) < 0.005
+
+
+def test_sweep_denoise_seeds_batched():
+    """The --seeds batched multi-fit surface (VERDICT r4 #6): M seeds of
+    one family in one program; per-seed PSNRs finite and within the
+    family's normal range on the tiny stand-in."""
+    from wire_tpu.apps.sweep import sweep_denoise_seeds
+    out = sweep_denoise_seeds("wire", 2, size=32, downscale=1, niters=20)
+    assert len(out["psnrs"]) == 2
+    assert all(np.isfinite(p) and p > 5 for p in out["psnrs"])
+    assert out["recs"].shape[0] == 2
