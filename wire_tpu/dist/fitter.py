@@ -54,6 +54,14 @@ def fit_pointwise_sharded(model, params, coords, target, cfg: FitConfig,
     volumes).
     """
     from wire_tpu.signals.coords import GridSpec
+    if getattr(cfg, "block_perm", 0):
+        # the block-permutation gather optimization (trainer.FitConfig,
+        # r5) is implemented on the single-device trainer only; refusing
+        # beats silently running a different composition than requested
+        raise NotImplementedError(
+            "block_perm is not supported by the sharded fitter yet — "
+            "use the single-device trainer, or unset block_perm (the "
+            "sharded per-device permutation already keeps gathers local)")
     grid = coords if isinstance(coords, GridSpec) else None
     if global_perm:
         return _fit_global_perm(model, params, coords, target, cfg, mesh,
