@@ -506,3 +506,44 @@ def test_fit_pointwise_many_matches_serial():
                                    rtol=2e-4)
         np.testing.assert_allclose(res_m.best_rec[r], res1.best_rec,
                                    atol=2e-4)
+
+
+def test_fit_operator_many_matches_serial():
+    """fit_operator_many (r5): M vmapped operator fits in one program must
+    reproduce the serial fit_operator trajectories; batched_measurement
+    fits M DIFFERENT measurements concurrently."""
+    from wire_tpu.ops.resample import avg_pool2d
+    from wire_tpu.train.trainer import fit_operator_many
+
+    H = W = 16
+    model = get_inr("wire", in_features=2, out_features=1,
+                    hidden_features=32, hidden_layers=2, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    coords = C.grid2d(H, W)
+
+    def op(field):
+        return avg_pool2d(field[None, None], 4)[0, 0]
+
+    ims = [I.synthetic_image(H, W, 1, seed=s)[..., 0] for s in (3, 4)]
+    meas = np.stack([np.asarray(jax.jit(op)(jnp.asarray(im)))
+                     for im in ims])
+    M = 2
+    keys = jax.random.split(jax.random.key(7), M)
+    pstack = jax.vmap(lambda k: model._init(k, model.spec))(keys)
+    cfg = FitConfig(learning_rate=5e-3, niters=6)
+
+    res_m = fit_operator_many(model, pstack, coords, meas, op, cfg,
+                              gt_field=np.stack(ims), field_shape=(H, W),
+                              batched_measurement=True)
+    assert res_m.mse_gt.shape == (6, M)
+    for r in range(M):
+        p0 = jax.tree.map(lambda x, r=r: x[r], pstack)
+        res1 = fit_operator(model, p0, coords, meas[r], op, cfg,
+                            gt_field=ims[r], field_shape=(H, W),
+                            donate=False)
+        np.testing.assert_allclose(res_m.mse_noisy[:, r], res1.mse_noisy,
+                                   rtol=2e-4)
+        np.testing.assert_allclose(res_m.mse_gt[:, r], res1.mse_gt,
+                                   rtol=2e-4)
+        np.testing.assert_allclose(res_m.best_rec[r], res1.best_rec,
+                                   atol=2e-4)
