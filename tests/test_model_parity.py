@@ -89,20 +89,34 @@ def test_forward_parity(nonlin, kw, opt):
     # thread scheduling wherever the output is near zero (observed: a few
     # elements ~1e-2 off by ~4e-4 abs).  Outputs are O(1), so atol=1e-3 is
     # still a tight bound on the output scale while absorbing the jitter;
-    # everything else stays at the tight bound.
-    rtol, atol = (2e-3, 1e-3) if nonlin == "wire2d" else (2e-4, 2e-5)
+    # everything else stays at the tight bound.  realgabor shares the
+    # mechanism — cos(omega lin) * exp(-(scale orth)^2) multiplies two
+    # independent matmul outputs through an exponential (observed under
+    # host contention: ~30% of elements off by up to 4.4e-4 abs, zero in
+    # an idle run).
+    loose = nonlin in ("wire2d", "realgabor")
+    rtol, atol = (2e-3, 1e-3) if loose else (2e-4, 2e-5)
     np.testing.assert_allclose(y, y_ref.reshape(y.shape), rtol=rtol,
                                atol=atol)
-    if nonlin == "wire2d":
-        # the loose elementwise bound above absorbs a few jittery
-        # near-zero elements; keep sensitivity to SYSTEMATIC deviation by
-        # bounding the bulk of the error distribution tightly (ADVICE
-        # round 1): 99% of elements must still sit at the tight bound.
-        err = np.abs(y - y_ref.reshape(y.shape))
-        tight = 2e-4 * np.abs(y_ref.reshape(y.shape)) + 2e-5
-        assert np.mean(err <= tight) >= 0.99, (
-            f"wire2d: {100 * np.mean(err > tight):.2f}% of elements exceed "
-            "the tight bound — systematic deviation, not jitter")
+    if loose:
+        # the loose elementwise bound above absorbs jittery near-zero
+        # elements; keep sensitivity to SYSTEMATIC deviation (ADVICE
+        # round 1).  wire2d's jitter hits only a few elements, so 99%
+        # must still sit at the tight elementwise bound; realgabor's is
+        # broader but unbiased, so bound the relative Frobenius error
+        # (a formula/parameter bug moves it by orders of magnitude).
+        yr = y_ref.reshape(y.shape)
+        err = np.abs(y - yr)
+        if nonlin == "wire2d":
+            tight = 2e-4 * np.abs(yr) + 2e-5
+            assert np.mean(err <= tight) >= 0.99, (
+                f"wire2d: {100 * np.mean(err > tight):.2f}% of elements "
+                "exceed the tight bound — systematic deviation, not jitter")
+        else:
+            rel_l2 = np.linalg.norm(err) / np.linalg.norm(yr)
+            assert rel_l2 <= 5e-4, (
+                f"realgabor: relative L2 error {rel_l2:.2e} — systematic "
+                "deviation, not summation-order jitter")
 
 
 @pytest.mark.parametrize("nonlin,kw,opt", CASES, ids=[c[0] for c in CASES])

@@ -547,3 +547,58 @@ def test_fit_operator_many_matches_serial():
                                    rtol=2e-4)
         np.testing.assert_allclose(res_m.best_rec[r], res1.best_rec,
                                    atol=2e-4)
+
+
+def test_fit_frames_many_matches_serial():
+    """fit_frames_many (r5): M vmapped multi-frame SR fits in one program
+    must reproduce the serial fit_frames trajectories at seeds cfg.seed + r
+    (incl. the padded frame-batch remainder); batched_frames fits M
+    DIFFERENT bursts concurrently."""
+    import dataclasses as dc
+    from wire_tpu.train.trainer import fit_frames, fit_frames_many
+
+    H = W = 16
+    scale = 2
+    nframes, bs = 6, 4                      # nbatches=2, 2-frame pad
+    rng = np.random.RandomState(3)
+    base = C.grid2d(H, W)
+    fc = np.stack([base] * nframes).astype(np.float32)
+    fp = rng.rand(nframes, (H // scale) * (W // scale), 3).astype(np.float32)
+    fm = np.ones_like(fp)
+    model = get_inr("wire", in_features=2, hidden_features=32,
+                    hidden_layers=2, out_features=3, first_omega0=7.0,
+                    hidden_omega0=7.0, scale=6.0)
+    M = 2
+    keys = jax.random.split(jax.random.key(11), M)
+    pstack = jax.vmap(lambda k: model._init(k, model.spec))(keys)
+    cfg = FitConfig(learning_rate=5e-3, niters=5)
+
+    res_m = fit_frames_many(model, pstack, fc, fp, fm, cfg,
+                            hr_shape=(H, W, 3), scale=scale, batch_size=bs)
+    assert res_m.mse_noisy.shape == (5, M)
+    for r in range(M):
+        p0 = jax.tree.map(lambda x, r=r: x[r], pstack)
+        res1 = fit_frames(model, p0, fc, fp, fm,
+                          dc.replace(cfg, seed=cfg.seed + r),
+                          hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                          donate=False)
+        np.testing.assert_allclose(res_m.mse_noisy[:, r], res1.mse_noisy,
+                                   rtol=2e-4)
+        np.testing.assert_allclose(res_m.best_mse[r], res1.best_mse,
+                                   rtol=2e-4)
+
+    # batched_frames: two DIFFERENT bursts fit concurrently
+    fp2 = np.stack([fp, rng.rand(*fp.shape).astype(np.float32)])
+    fc2 = np.stack([fc, fc])
+    fm2 = np.stack([fm, fm])
+    res_b = fit_frames_many(model, pstack, fc2, fp2, fm2, cfg,
+                            hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                            batched_frames=True)
+    for r in range(M):
+        p0 = jax.tree.map(lambda x, r=r: x[r], pstack)
+        res1 = fit_frames(model, p0, fc2[r], fp2[r], fm2[r],
+                          dc.replace(cfg, seed=cfg.seed + r),
+                          hr_shape=(H, W, 3), scale=scale, batch_size=bs,
+                          donate=False)
+        np.testing.assert_allclose(res_b.mse_noisy[:, r], res1.mse_noisy,
+                                   rtol=2e-4)

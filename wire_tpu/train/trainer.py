@@ -721,6 +721,131 @@ def fit_frames(model, params, frame_coords, frame_pixels, frame_masks,
         wall_time_s=wall)
 
 
+def fit_frames_many(model, params_stack, frame_coords, frame_pixels,
+                    frame_masks, cfg: FitConfig, *, hr_shape, scale,
+                    batch_size=4, donate=False, batched_frames=False):
+    """M multi-frame SR fits (the wire_multi_sr.py loop shape) in ONE
+    device program — the frames counterpart of ``fit_pointwise_many`` /
+    ``fit_operator_many``, completing the batched multi-fit trio.  The
+    per-epoch body (frame-order reshuffle -> batched render / box
+    downsample / masked MSE -> Adam -> best tracking) is vmapped over the
+    replica axis of ``params_stack``; the fused model apply kernels batch
+    through their vmap rules.
+
+    Frame stacks are shared across replicas by default (multi-seed fits of
+    one burst; replica r uses seed ``cfg.seed + r`` and reproduces the
+    ``fit_frames(..., seed=cfg.seed+r)`` trajectory exactly — tested).
+    ``batched_frames=True`` marks frame_coords/pixels/masks as carrying a
+    leading M axis: M DIFFERENT bursts fit concurrently, which the
+    reference's serial script (wire_multi_sr.py:183-208) cannot express.
+
+    frame_coords: (n, H*W, 2) or (M, n, H*W, 2); frame_pixels/masks
+    likewise with (n, Hl*Wl, C) trailing shape; hr_shape: (H, W, C).
+    Returns a FitResult whose params carry the leading M axis (mse
+    histories shaped (niters, M); best_mse (M,))."""
+    from wire_tpu.ops.resample import avg_pool2d
+
+    frame_coords = jnp.asarray(frame_coords)
+    frame_pixels = jnp.asarray(frame_pixels)
+    frame_masks = jnp.asarray(frame_masks)
+    M = jax.tree.leaves(params_stack)[0].shape[0]
+    f_ax = 0 if batched_frames else None
+    nframes = frame_coords.shape[1] if batched_frames else \
+        frame_coords.shape[0]
+    H, W, C = hr_shape
+    bs = min(batch_size, nframes)
+    nbatches = (nframes + bs - 1) // bs
+    npad = nbatches * bs - nframes
+
+    def build(seg_len):
+        cache_key = (model, cfg, seg_len, frame_coords.shape,
+                     frame_pixels.shape, tuple(hr_shape), scale, bs, donate,
+                     M, f_ax, "frames_many")
+        hit = _PROGRAMS.get(cache_key)
+        if hit is not None:
+            return hit
+        tx = make_optimizer(cfg, None, nchunks=nbatches)
+
+        def run_impl(carry, frame_coords, frame_pixels, frame_masks):
+            def batch_loss(p, fidx, frame_coords, frame_pixels,
+                           frame_masks):
+                valid = (fidx < nframes).astype(frame_pixels.dtype)
+                safe = jnp.minimum(fidx, nframes - 1)
+                rend = model.apply(p, frame_coords[safe])     # (b,H*W,C)
+                nchw = jnp.transpose(rend.reshape(bs, H, W, C),
+                                     (0, 3, 1, 2))
+                lr = jnp.transpose(avg_pool2d(nchw, scale), (0, 2, 3, 1))
+                lr = lr.reshape(bs, -1, C)
+                m = frame_masks[safe] * valid[:, None, None]
+                err = (lr - frame_pixels[safe]) * m
+                # same masked-MSE normalization as fit_frames
+                # (wire_multi_sr.py:197)
+                return jnp.sum(err ** 2) / (
+                    err.size / max(1, bs) * jnp.maximum(valid.sum(), 1))
+
+            def one_epoch(carry, frame_coords, frame_pixels, frame_masks):
+                inner, key = carry
+                key, sub = jax.random.split(key)
+                order = jax.random.permutation(sub, nframes)
+                if npad:
+                    order = jnp.concatenate(
+                        [order, jnp.full((npad,), nframes, order.dtype)])
+                order = order.reshape(nbatches, bs)
+
+                def step(inner, fidx):
+                    params, opt_state, best_loss, best_params = inner
+                    loss, grads = jax.value_and_grad(batch_loss)(
+                        params, fidx, frame_coords, frame_pixels,
+                        frame_masks)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    is_best = loss < best_loss
+                    best_loss = jnp.where(is_best, loss, best_loss)
+                    best_params = track_best(is_best, params, best_params)
+                    return (params, opt_state, best_loss, best_params), loss
+
+                inner, losses = jax.lax.scan(step, inner, order)
+                return (inner, key), jnp.sum(losses)
+
+            def epoch(carry, _):
+                return jax.vmap(one_epoch, in_axes=(0, f_ax, f_ax, f_ax))(
+                    carry, frame_coords, frame_pixels, frame_masks)
+
+            return jax.lax.scan(epoch, carry, None, length=seg_len)
+
+        run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
+        _PROGRAMS[cache_key] = (tx, run)
+        return tx, run
+
+    seg = min(cfg.niters, max(cfg.scan_segment, 1))
+    tx, run = build(seg)
+    setup = _fit_setup(model, cfg, tx)
+    opt_state, _, best_params0 = jax.vmap(
+        lambda p, s: setup(p, s))(params_stack, jnp.zeros((M,), jnp.uint32))
+    keys = jax.vmap(jax.random.key)(
+        jnp.uint32(cfg.seed) + jnp.arange(M, dtype=jnp.uint32))
+    carry = ((params_stack, opt_state,
+              jnp.full((M,), jnp.inf, jnp.float32), best_params0), keys)
+    hists = []
+    done = 0
+    t0 = time.time()
+    while done < cfg.niters:
+        this = min(seg, cfg.niters - done)
+        if this != seg:
+            _, run = build(this)
+        carry, h = run(carry, frame_coords, frame_pixels, frame_masks)
+        hists.append(h)
+        done += this
+    jax.block_until_ready(carry)
+    wall = time.time() - t0
+    (params_f, _, best_loss, best_params), _keys = carry
+    mse_hist = np.concatenate([np.asarray(h) for h in hists])
+    return FitResult(
+        params=params_f, best_params=best_params, best_rec=None,
+        final_rec=None, mse_gt=mse_hist, mse_noisy=mse_hist,
+        best_mse=np.asarray(best_loss), wall_time_s=wall)
+
+
 # Program cache: building a fresh jax.jit wrapper per fit would re-load the
 # executable on every call (expensive on remote/tunneled TPU backends even
 # with the XLA compile cache warm).  Programs are keyed on everything that
