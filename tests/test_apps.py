@@ -162,3 +162,17 @@ def test_sweep_denoise_seeds_batched():
     assert len(out["psnrs"]) == 2
     assert all(np.isfinite(p) and p > 5 for p in out["psnrs"])
     assert out["recs"].shape[0] == 2
+
+
+def test_sweep_operator_seeds_batched():
+    """The --seeds surface for the operator tasks (fit_operator_many):
+    M seeds of one family in one program for CT and SISR."""
+    from wire_tpu.apps.sweep import sweep_ct_seeds, sweep_sisr_seeds
+    out = sweep_ct_seeds("gauss", 2, size=32, nmeas=10, niters=15)
+    assert len(out["psnrs"]) == 2
+    assert all(np.isfinite(p) for p in out["psnrs"])
+    assert out["recs"].shape[0] == 2
+    out = sweep_sisr_seeds("gauss", 2, size=96, scale=2, niters=15)
+    assert len(out["mse_db"]) == 2
+    assert all(np.isfinite(p) for p in out["mse_db"])
+    assert out["recs"].shape[0] == 2

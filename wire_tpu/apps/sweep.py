@@ -112,6 +112,68 @@ def sweep_denoise_seeds(nonlin, n_seeds, image=None, results_dir="results",
     return {"psnrs": psnrs, "wall_s": res.wall_time_s, "recs": res.best_rec}
 
 
+def sweep_ct_seeds(nonlin, n_seeds, image=None, results_dir="results",
+                   seed0=0, niters=5000, nmeas=100, size=512):
+    """Multi-seed CT fits of ONE family in a single device program
+    (trainer.fit_operator_many): replica r initializes with seed seed0+r
+    and fits the same sinogram (the operator iteration itself is
+    deterministic — full-grid renders, no minibatch RNG).  Returns
+    per-seed PSNRs (reference formula)."""
+    import jax.numpy as jnp
+    from wire_tpu.operators.radon import radon
+    from wire_tpu.train.trainer import fit_operator_many
+    img = common.load_image(image, size=size, channels=1, seed=seed0)
+    if img.ndim == 3:
+        img = img[..., 0]
+    img = I.normalize(img, True).astype(np.float32)
+    H, W = img.shape
+    thetas = jnp.asarray(np.linspace(0, 180, nmeas, dtype=np.float32))
+    sinogram = np.asarray(jax.jit(lambda x: radon(x, thetas))(
+        jnp.asarray(img)))
+    model = _build(nonlin, "ct", H, W, tau=1e2, out_features=1,
+                   posenc_sidelength=nmeas)
+    keys = jax.random.split(jax.random.key(seed0), n_seeds)
+    pstack = jax.vmap(lambda k: model._init(k, model.spec))(keys)
+    cfg = FitConfig(learning_rate=_CT_LR[nonlin], niters=niters, seed=seed0)
+    res = fit_operator_many(model, pstack, C.grid2d(H, W), sinogram,
+                            lambda f: radon(f, thetas), cfg, gt_field=img,
+                            field_shape=(H, W), track="gt")
+    psnrs = [float(M.psnr_ref(img, res.best_rec[r])) for r in range(n_seeds)]
+    A.log(f"ct {nonlin} x{n_seeds} seeds: "
+          + " ".join(f"{p:.2f}" for p in psnrs)
+          + f" ({res.wall_time_s:.1f}s total)")
+    return {"psnrs": psnrs, "wall_s": res.wall_time_s, "recs": res.best_rec}
+
+
+def sweep_sisr_seeds(nonlin, n_seeds, image=None, results_dir="results",
+                     seed0=0, niters=2000, scale=4, size=768):
+    """Multi-seed SISR fits of ONE family in a single device program
+    (trainer.fit_operator_many); replica r initializes with seed
+    seed0+r.  Returns per-seed MSE (dB, vs the clean HR image)."""
+    from wire_tpu.operators.forward import sisr_op
+    from wire_tpu.train.trainer import fit_operator_many
+    im = common.load_image(image, size=size, channels=3, seed=seed0)
+    im = I.resize_area(im, 1 / 3)
+    H, W, _ = im.shape
+    im = im[:scale * (H // scale), :scale * (W // scale), :]
+    H, W, _ = im.shape
+    im_lr = I.resize_area(im, 1 / scale)
+    model = _build(nonlin, "sisr", H, W, tau=1e2)
+    keys = jax.random.split(jax.random.key(seed0), n_seeds)
+    pstack = jax.vmap(lambda k: model._init(k, model.spec))(keys)
+    cfg = FitConfig(learning_rate=_SISR_LR[nonlin], niters=niters,
+                    lr_decay=0.2, seed=seed0)
+    res = fit_operator_many(model, pstack, C.grid2d(H, W), im_lr,
+                            lambda f: sisr_op(f, scale), cfg, gt_field=im,
+                            field_shape=(H, W, 3), track="gt")
+    mse_db = [float(-10 * np.log10(res.best_mse[r])) for r in range(n_seeds)]
+    A.log(f"sisr {nonlin} x{n_seeds} seeds: "
+          + " ".join(f"{p:.2f}" for p in mse_db)
+          + f" ({res.wall_time_s:.1f}s total)")
+    return {"mse_db": mse_db, "wall_s": res.wall_time_s,
+            "recs": res.best_rec}
+
+
 def sweep_denoise(image=None, results_dir="results", seed=0, niters=2000,
                   tau=3e1, noise_snr=2, nonlins=NONLINS, size=512,
                   downscale=0.5):
@@ -249,15 +311,24 @@ def main(argv=None):
     p.add_argument("--nonlins", nargs="+", default=NONLINS)
     p.add_argument("--downscale", type=float, default=None)
     p.add_argument("--seeds", type=int, default=0,
-                   help="denoise only: run this many seeds of ONE family "
-                        "(the first of --nonlins) batched in one program")
+                   help="run this many seeds of ONE family (the first of "
+                        "--nonlins) batched in one device program")
     a = p.parse_args(argv)
-    if a.seeds and a.task == "denoise":
-        sweep_denoise_seeds(a.nonlins[0], a.seeds, image=a.image,
-                            results_dir=a.results_dir,
-                            niters=a.niters or 2000,
-                            downscale=(0.5 if a.downscale is None
-                                       else a.downscale))
+    if a.seeds:
+        if a.task == "denoise":
+            sweep_denoise_seeds(a.nonlins[0], a.seeds, image=a.image,
+                                results_dir=a.results_dir,
+                                niters=a.niters or 2000,
+                                downscale=(0.5 if a.downscale is None
+                                           else a.downscale))
+        elif a.task == "ct":
+            sweep_ct_seeds(a.nonlins[0], a.seeds, image=a.image,
+                           results_dir=a.results_dir,
+                           niters=a.niters or 5000)
+        else:
+            sweep_sisr_seeds(a.nonlins[0], a.seeds, image=a.image,
+                             results_dir=a.results_dir,
+                             niters=a.niters or 2000)
         return
     kw = dict(image=a.image, results_dir=a.results_dir, nonlins=a.nonlins)
     if a.niters:
